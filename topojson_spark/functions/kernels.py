@@ -1,0 +1,542 @@
+"""Pure-numpy geometry kernels.
+
+Each function re-expresses one computational kernel of the reference
+(/root/reference/topojson/ops.py) with bit-identical numerics where the
+reference's tests pin exact values (quantize grid math, the 1e8 vertex
+rounding, the 1e-8 on-line tolerance, fast_split's ring rotation, the
+column-sorted canonical duplicate form). They are deliberately dependency-free
+(numpy only — shapely/geopandas are not available on executors) and are called
+from Arrow-batched pandas UDFs, never per-row Spark Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# vertex identity tolerance — reference ops.py:299 (`tol = 1e8` rounding)
+VERTEX_TOL = 1e8
+# on-line distance tolerance for path-connected cut — reference ops.py:218
+ON_LINE_TOL = 1e-8
+
+
+# ---------------------------------------------------------------- identity
+
+
+def vertex_keys(coords: np.ndarray) -> np.ndarray:
+    """Int64 (k,2) identity keys: round(coord * 1e8), the reference's exact
+    vertex-equality rule (ops.py:233-237, ops.py:299-304)."""
+    return np.around(np.asarray(coords, dtype=np.float64) * VERTEX_TOL).astype(np.int64)
+
+
+def packed_vertex_keys(coords: np.ndarray) -> np.ndarray:
+    """1-D byte-view key per vertex for fast row-wise membership (asvoid
+    replacement, ops.py:59-83; -0.0 is normalized by the round() above)."""
+    k = np.ascontiguousarray(vertex_keys(coords))
+    return k.view(np.dtype((np.void, 16))).ravel()
+
+
+# ---------------------------------------------------------------- quantize
+
+
+def quantize_factors(
+    bbox: Tuple[float, float, float, float], quant_factor: float
+) -> Tuple[float, float]:
+    """Grid scale (kx, ky) — ops.py:634-640."""
+    x0, y0, x1, y1 = bbox
+    kx = 1 if (x1 - x0) == 0 else (x1 - x0) / (quant_factor - 1)
+    ky = 1 if (y1 - y0) == 0 else (y1 - y0) / (quant_factor - 1)
+    return kx, ky
+
+
+def quantize_coords(
+    coords: np.ndarray,
+    bbox: Tuple[float, float, float, float],
+    quant_factor: float,
+) -> np.ndarray:
+    """Snap one coordinate sequence to the quantization grid and drop
+    consecutive repeats unless the line would degenerate to a point —
+    exact semantics of ops.py:641-668."""
+    kx, ky = quantize_factors(bbox, quant_factor)
+    xy = np.asarray(coords, dtype=np.float64)
+    q = (
+        np.column_stack(((xy[:, 0] - bbox[0]) / kx, (xy[:, 1] - bbox[1]) / ky))
+        .round()
+        .astype(np.int64)
+    )
+    bool_slice = np.insert(np.absolute(np.diff(q, 1, axis=0)).sum(axis=1), 0, 1) != 0
+    if not bool_slice.sum() == 1 or len(q) == bool_slice.sum():
+        return q[bool_slice]
+    return q
+
+
+def dequantize_coords(q: np.ndarray, scale, translate) -> np.ndarray:
+    """Inverse affine (non-delta-encoded variant): x*kx + x0."""
+    q = np.asarray(q, dtype=np.float64)
+    return q * np.asarray(scale, dtype=np.float64) + np.asarray(
+        translate, dtype=np.float64
+    )
+
+
+def delta_encode(coords: np.ndarray) -> np.ndarray:
+    """Per-arc first point + successive diffs as int64 — ops.py:917-925."""
+    ls = np.asarray(coords).astype(np.int64)
+    first = ls[0].copy()
+    out = ls - np.roll(ls, 1, axis=0)
+    out[0] = first
+    return out
+
+
+def delta_decode(arcs: np.ndarray, scale, translate) -> np.ndarray:
+    """cumsum * scale + translate — ops.py:521-523 (dequantize)."""
+    a = np.asarray(arcs, dtype=np.float64)
+    return a.cumsum(axis=0) * np.asarray(scale) + np.asarray(translate)
+
+
+# ---------------------------------------------------------------- cleaning
+
+
+def remove_collinear_points(line: np.ndarray) -> np.ndarray:
+    """Drop interior vertices with zero cross-product — ops.py:1030-1045."""
+    line = np.asarray(line)
+    if len(line) <= 2:
+        return line
+    p1 = line[:-2]
+    p2 = line[1:-1]
+    p3 = line[2:]
+    collinear = (p2[:, 0] - p1[:, 0]) * (p3[:, 1] - p1[:, 1]) == (
+        p3[:, 0] - p1[:, 0]
+    ) * (p2[:, 1] - p1[:, 1])
+    mask = np.concatenate([[False], collinear, [False]])
+    return line[~mask]
+
+
+# ---------------------------------------------------------------- split
+
+
+def fast_split(
+    line: np.ndarray, splitter_keys: np.ndarray, is_ring: bool
+) -> List[np.ndarray]:
+    """Split a coordinate array at vertices whose identity key appears in
+    ``splitter_keys`` — exact port of ops.py:270-335 including the ring
+    rotation (rotate to first junction instead of splitting there) and the
+    never-split-at-0/last rule.
+
+    ``splitter_keys`` is the packed (void16) key set of junction coordinates.
+    """
+    line = np.asarray(line, dtype=np.float64)
+    line_keys = packed_vertex_keys(line)
+    splitter_indices = np.flatnonzero(np.isin(line_keys, splitter_keys))
+
+    if is_ring and len(splitter_indices) > 0 and splitter_indices[0] != 0:
+        first_index = splitter_indices[0]
+        line = line[:-1]
+        line = np.roll(line, -first_index, axis=0)
+        line = np.append(line, [line[0]], axis=0)
+        splitter_indices = splitter_indices[1:]
+        splitter_indices = splitter_indices - first_index
+
+    splitter_indices = splitter_indices[
+        (splitter_indices < (line.shape[0] - 1)) & (splitter_indices > 0)
+    ]
+
+    tmp_indices = np.zeros(line.shape[0], dtype=np.int64)
+    tmp_indices[splitter_indices] = 1
+    tmp_indices += 1
+    ls_xy = np.repeat(line, tmp_indices, axis=0)
+    splitter_indices = splitter_indices + np.arange(1, len(splitter_indices) + 1)
+    return np.split(ls_xy, splitter_indices, axis=0)
+
+
+def insert_points_on_line(line: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Insert junction coordinates that lie on the line (within 1e-8) but are
+    not existing vertices — semantics of ops.py:194-267 (insert_coords_in_line)
+    without shapely: distances/projections are computed in numpy.
+
+    Returns the new coordinate array (or the original if nothing to insert).
+    """
+    line = np.asarray(line, dtype=np.float64)
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if len(pts) == 0:
+        return line
+
+    d, proj = _dist_and_proj_to_polyline(pts, line)
+    on_line = d < ON_LINE_TOL
+    pts_on = pts[on_line]
+    proj_on = proj[on_line]
+    if len(pts_on) == 0:
+        return line
+
+    # drop points that already are vertices (1e8 rounding identity)
+    existing = packed_vertex_keys(line)
+    keys = packed_vertex_keys(pts_on)
+    new_mask = ~np.isin(keys, existing)
+    pts_new = pts_on[new_mask]
+    dist_new = proj_on[new_mask]
+    if pts_new.size == 0:
+        return line
+
+    keep = dist_new > 0  # ops.py:246
+    pts_new, dist_new = pts_new[keep], dist_new[keep]
+    if pts_new.size == 0:
+        return line
+    order = dist_new.argsort()
+    dist_new = dist_new[order]
+    pts_new = pts_new[order]
+
+    # cumulative arc length per vertex (ops.py:254-261)
+    roll = np.roll(line, 1, axis=0) - line
+    eucl = np.sqrt(np.einsum("ij,ij->i", roll, roll))
+    eucl[0] = 0
+    cumsum = eucl.cumsum()
+
+    insert_idx = np.searchsorted(cumsum, dist_new)
+    return np.insert(line, insert_idx, pts_new, axis=0)
+
+
+def _dist_and_proj_to_polyline(
+    pts: np.ndarray, line: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """For each point: (min distance to polyline, arc-length of the closest
+    projection measured from the line start). Vectorized (npts x nsegs)."""
+    a = line[:-1]  # (m,2)
+    b = line[1:]
+    ab = b - a
+    seg_len2 = np.einsum("ij,ij->i", ab, ab)  # (m,)
+    seg_len = np.sqrt(seg_len2)
+    cum = np.concatenate([[0.0], seg_len.cumsum()])[:-1]  # start offset per seg
+
+    ap = pts[:, None, :] - a[None, :, :]  # (n,m,2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.einsum("nmj,mj->nm", ap, ab) / seg_len2[None, :]
+    t = np.nan_to_num(t, nan=0.0)
+    t = np.clip(t, 0.0, 1.0)
+    closest = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+    diff = pts[:, None, :] - closest
+    d2 = np.einsum("nmj,nmj->nm", diff, diff)
+    seg_ix = d2.argmin(axis=1)
+    n_ix = np.arange(len(pts))
+    dmin = np.sqrt(d2[n_ix, seg_ix])
+    proj = cum[seg_ix] + t[n_ix, seg_ix] * seg_len[seg_ix]
+    return dmin, proj
+
+
+# ---------------------------------------------------------------- orientation
+
+
+def signed_area(ring: np.ndarray) -> float:
+    """Shoelace via np.roll — ops.py:338-357."""
+    ring = np.asarray(ring, dtype=np.float64)
+    xs, ys = ring.T
+    return float((xs * (np.roll(ys, -1) - np.roll(ys, +1))).sum() / 2)
+
+
+def is_ccw(ring: np.ndarray) -> bool:
+    """ops.py:360-374."""
+    return signed_area(ring) >= 0.0
+
+
+def orient_ring(ring: np.ndarray, ccw: bool) -> np.ndarray:
+    """Force a ring's winding (replacement for shapely orient on one ring)."""
+    if is_ccw(ring) != ccw:
+        return np.asarray(ring)[::-1]
+    return np.asarray(ring)
+
+
+# ---------------------------------------------------------------- dedup keys
+
+
+def canonical_dup_bytes(coords: np.ndarray) -> bytes:
+    """Canonical byte form used for duplicate-arc detection — exact port of
+    find_duplicates' per-linestring canonicalization (ops.py:961-971):
+    rings drop the closing vertex, coordinates are column-independently
+    sorted, rings additionally re-prefix the first two sorted rows (the
+    np.append there flattens to 1-D; byte layout is identical either way).
+
+    The reference hashes with process-salted Python ``hash()`` (ops.py:971);
+    we digest the same bytes with sha1 so results are deterministic across
+    executors/retries (SURVEY.md §7 'process-salted hash' hazard).
+    """
+    c = np.asarray(coords, dtype=np.float64)
+    c = c + 0.0  # normalize -0.0 (asvoid, ops.py:77-82)
+    if np.array_equal(c[0], c[-1]):
+        c = c[0:-1]
+        c = np.sort(c, axis=0)
+        c = np.append(c[0:2], c)
+    else:
+        c = np.sort(c, axis=0)
+    return c.tobytes()
+
+
+def canonical_dup_digest(coords: np.ndarray) -> int:
+    """Signed int64 digest of the canonical byte form (sha1 truncation)."""
+    h = hashlib.sha1(canonical_dup_bytes(coords)).digest()
+    return int.from_bytes(h[:8], "little", signed=True)
+
+
+# ---------------------------------------------------------------- path equality
+
+
+def normalize_path(coords: np.ndarray) -> bytes:
+    """Orientation/rotation-invariant normal form of a polyline's *path*,
+    approximating shapely ``equals`` for simple paths (join.py:207-210 uses
+    equals to skip junctions between identical linestrings).
+
+    Steps: snap to 1e8 identity grid, drop collinear interior vertices, then
+    - ring: rotate so the lexicographically-smallest vertex is first and pick
+      the lexicographically smaller of the two traversal directions;
+    - open line: pick the direction with the lexicographically smaller
+      vertex sequence.
+    """
+    keys = vertex_keys(remove_collinear_points(np.asarray(coords, dtype=np.float64)))
+    if len(keys) > 1 and np.array_equal(keys[0], keys[-1]):
+        body = keys[:-1]
+        # for each direction, rotate to the minimal vertex then compare
+        variants = []
+        for cand in (body, body[::-1]):
+            flat = cand.view([("x", np.int64), ("y", np.int64)]).ravel()
+            start = int(np.lexsort((flat["y"], flat["x"]))[0])
+            variants.append(np.roll(cand, -start, axis=0).tobytes())
+        return min(variants) + b"R"
+    fwd = keys.tobytes()
+    bwd = keys[::-1].tobytes()
+    return min(fwd, bwd) + b"L"
+
+
+# ---------------------------------------------------------------- overlaps
+
+
+def line_pair_shared_segments(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Collinear overlapping pieces between two polylines.
+
+    Replaces ``geom1.intersection(geom2)`` + ``linemerge_ext`` + ``explode``
+    of the path-connected junction mode (join.py:213-217): shapely's
+    line ∩ line produces line parts exactly where segments overlap
+    collinearly (point crossings are dropped by extract_lines,
+    ops.py:136-159), so only those pieces are computed here.
+
+    Returns an (n, 4) array of overlap segments [x1, y1, x2, y2], unmerged.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    p, r = a[:-1], a[1:] - a[:-1]  # (n,2)
+    q, s = b[:-1], b[1:] - b[:-1]  # (m,2)
+
+    cross_rs = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    qp = q[None, :, :] - p[:, None, :]
+    cross_qp_r = qp[:, :, 0] * r[:, None, 1] - qp[:, :, 1] * r[:, None, 0]
+    parallel = cross_rs == 0
+    collinear = parallel & (cross_qp_r == 0)
+    if not collinear.any():
+        return np.empty((0, 4))
+
+    rr = np.einsum("ij,ij->i", r, r)  # (n,)
+    out = []
+    idx_i, idx_j = np.nonzero(collinear)
+    for i, j in zip(idx_i, idx_j):
+        if rr[i] == 0:
+            continue
+        t0 = np.dot(q[j] - p[i], r[i]) / rr[i]
+        t1 = np.dot(q[j] + s[j] - p[i], r[i]) / rr[i]
+        lo, hi = (t0, t1) if t0 <= t1 else (t1, t0)
+        lo, hi = max(lo, 0.0), min(hi, 1.0)
+        if hi - lo <= 0:
+            continue  # touch at a point (or disjoint) -> no line piece
+        seg0 = p[i] + lo * r[i]
+        seg1 = p[i] + hi * r[i]
+        out.append([seg0[0], seg0[1], seg1[0], seg1[1]])
+    if not out:
+        return np.empty((0, 4))
+    return _dedupe_segments(np.asarray(out))
+
+
+def _dedupe_segments(segs: np.ndarray) -> np.ndarray:
+    """Drop duplicate overlap pieces (direction-insensitive)."""
+    a = np.around(segs * VERTEX_TOL).astype(np.int64)
+    lo = np.minimum(a[:, :2], a[:, 2:])
+    hi = np.maximum(a[:, :2], a[:, 2:])
+    canon = np.concatenate([lo, hi], axis=1)
+    _, ix = np.unique(canon, axis=0, return_index=True)
+    return segs[np.sort(ix)]
+
+
+def merge_segments_to_chains(segs: np.ndarray) -> List[np.ndarray]:
+    """Linemerge for small segment sets (shapely.ops.linemerge semantics:
+    join pieces at endpoints shared by exactly two pieces). Returns a list of
+    (k,2) polyline coordinate arrays."""
+    if len(segs) == 0:
+        return []
+    pieces = [np.array([[s[0], s[1]], [s[2], s[3]]]) for s in segs]
+    return merge_lines(pieces)
+
+
+def merge_lines(lines: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Merge polylines into maximal chains at endpoints of degree exactly 2
+    (shapely linemerge). Deterministic: chains start from the endpoint with
+    the smallest identity key; closed loops start at their smallest vertex."""
+    n = len(lines)
+    if n == 0:
+        return []
+    ends = []  # (key_bytes) per line end
+    for ln in lines:
+        k = vertex_keys(np.asarray(ln, dtype=np.float64))
+        ends.append((k[0].tobytes(), k[-1].tobytes()))
+    # endpoint -> list of (line_idx, which_end)
+    node = {}
+    for i, (s, e) in enumerate(ends):
+        node.setdefault(s, []).append((i, 0))
+        node.setdefault(e, []).append((i, 1))
+
+    used = [False] * n
+    chains: List[np.ndarray] = []
+
+    def extend(start: int, forward: bool) -> List[Tuple[int, bool]]:
+        """Oriented (line_idx, forward) sequence starting with `start`
+        traversed in the given direction, extending while the reached
+        endpoint has degree exactly 2."""
+        seq = [(start, forward)]
+        used[start] = True
+        cur, fwd = start, forward
+        while True:
+            end_key = ends[cur][1] if fwd else ends[cur][0]
+            incident = node[end_key]
+            nxt = [t for t in incident if not used[t[0]]]
+            if len(incident) != 2 or len(nxt) != 1:
+                break
+            cur, which = nxt[0]
+            fwd = which == 0  # arrived at its start -> traverse forward
+            used[cur] = True
+            seq.append((cur, fwd))
+        return seq
+
+    order = sorted(range(n), key=lambda i: min(ends[i]))
+    for i in order:
+        if used[i]:
+            continue
+        fwd_seq = extend(i, True)
+        # also extend from line i's start in the opposite direction
+        used[i] = False  # allow extend() bookkeeping; re-walk backwards
+        back_seq = extend(i, False)[1:]  # skip line i itself (already in fwd)
+        used[i] = True
+        # reverse the backward walk and flip orientations to precede line i
+        pre = [(ix, not f) for ix, f in reversed(back_seq)]
+        seq = pre + fwd_seq
+        parts = []
+        for ix, f in seq:
+            coords = np.asarray(lines[ix], dtype=np.float64)
+            parts.append(coords if f else coords[::-1])
+        stitched = [parts[0]] + [p[1:] for p in parts[1:]]
+        chains.append(np.concatenate(stitched, axis=0))
+    return chains
+
+
+# ---------------------------------------------------------------- simplify
+
+
+def douglas_peucker(coords: np.ndarray, epsilon: float) -> np.ndarray:
+    """Iterative Douglas-Peucker (replaces shapely .simplify, ops.py:727-750).
+    Keeps endpoints; for rings the closing vertex is preserved."""
+    pts = np.asarray(coords, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        seg = pts[i1] - pts[i0]
+        seglen = np.hypot(seg[0], seg[1])
+        mid = pts[i0 + 1 : i1]
+        if seglen == 0:
+            d = np.hypot(mid[:, 0] - pts[i0, 0], mid[:, 1] - pts[i0, 1])
+        else:
+            d = np.abs(
+                (mid[:, 0] - pts[i0, 0]) * seg[1] - (mid[:, 1] - pts[i0, 1]) * seg[0]
+            ) / seglen
+        imax = int(d.argmax())
+        if d[imax] > epsilon:
+            k = i0 + 1 + imax
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    out = pts[keep]
+    # guard against ring degeneration (prevent_oversimplify fallback)
+    if np.array_equal(pts[0], pts[-1]) and len(out) < 4:
+        return pts
+    return out
+
+
+def visvalingam(coords: np.ndarray, epsilon: float) -> np.ndarray:
+    """Visvalingam-Whyatt: iteratively drop the vertex with the smallest
+    effective triangle area until all areas >= epsilon (ops.py:751-782 vw)."""
+    pts = list(map(tuple, np.asarray(coords, dtype=np.float64)))
+    closed = pts[0] == pts[-1]
+    min_pts = 4 if closed else 2
+    while len(pts) > min_pts:
+        areas = []
+        for i in range(1, len(pts) - 1):
+            x1, y1 = pts[i - 1]
+            x2, y2 = pts[i]
+            x3, y3 = pts[i + 1]
+            areas.append(abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / 2)
+        if not areas:
+            break
+        imin = int(np.argmin(areas))
+        if areas[imin] >= epsilon:
+            break
+        del pts[imin + 1]
+    return np.asarray(pts)
+
+
+def simplify_coords(
+    coords: np.ndarray, epsilon: float, algorithm: str = "dp"
+) -> np.ndarray:
+    if algorithm == "vw":
+        return visvalingam(coords, epsilon)
+    return douglas_peucker(coords, epsilon)
+
+
+# ---------------------------------------------------------------- predicates
+
+
+def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Winding-number point-in-ring test, vectorized over points.
+    Boundary points count as inside. Used by the spatial layer's exact
+    point-in-polygon refinement (north rule; no reference counterpart)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)
+    x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+
+    # boundary check: collinear and within bbox of segment
+    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on_seg = (
+        (cross == 0)
+        & (x >= np.minimum(x1, x2))
+        & (x <= np.maximum(x1, x2))
+        & (y >= np.minimum(y1, y2))
+        & (y <= np.maximum(y1, y2))
+    ).any(axis=1)
+
+    upward = (y1 <= y) & (y2 > y)
+    downward = (y1 > y) & (y2 <= y)
+    wn = (upward & (cross > 0)).sum(axis=1).astype(np.int64) - (
+        downward & (cross < 0)
+    ).sum(axis=1).astype(np.int64)
+    return (wn != 0) | on_seg
+
+
+def bbox_of(coords: np.ndarray) -> Tuple[float, float, float, float]:
+    c = np.asarray(coords, dtype=np.float64)
+    return (
+        float(np.nanmin(c[:, 0])),
+        float(np.nanmin(c[:, 1])),
+        float(np.nanmax(c[:, 0])),
+        float(np.nanmax(c[:, 1])),
+    )
