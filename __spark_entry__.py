@@ -1,38 +1,556 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   : flagship — wrap sf0.001 documents into interleaved spans,
+                 run the full extract->join->cut->dedup->hashmap topology
+                 pipeline, return the deduplicated arc store.
+queries()      : one entry per implemented operator family (SURVEY.md §2 +
+                 the training-data ops); each (spark, sf_dir) -> DataFrame.
+oracle_sql()   : DuckDB-equivalent ANSI SQL per query (omitted only for the
+                 geometry/ANN ops that aren't SQL-expressible; those get the
+                 driver's rows-only check and are covered by tests/).
+
+Shared determinism trick: both engines hash text with an md5-prefix-as-int
+(Spark: conv(substring(md5(x),1,15),16,10); DuckDB:
+('0x'||substring(md5(x),1,15))::BIGINT) so minhash/simhash/fingerprint
+oracles agree bit-for-bit.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+N_LANG = ["en", "de", "fr", "es"]
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is"]
+
+_NORM_SQL = "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')"
+_TOKS_SQL = (
+    f"list_filter(string_split_regex({_NORM_SQL}, '\\s+'), t -> t <> '')"
+)
+
+# deterministic 64-d query vector for similarity search (same literal in SQL)
+QVEC = [round(((i * 37 + 11) % 64) / 64.0 - 0.5, 6) for i in range(64)]
+
+from topojson_spark.functions.text import (  # noqa: E402
+    MINHASH_AS,
+    MINHASH_BS,
+    MINHASH_P,
+    exact_dedup,
+    fingerprint,
+    language_id,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _derived_points(spark, sf_dir):
+    """Deterministic points over the (0,0,8,8) bbox derived from events —
+    the arithmetic is reproduced verbatim in the SQL oracles."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("event_id") % 97) * 8.0 / 97).alias("x"),
+        (((F.col("event_id") * 31) % 89) * 8.0 / 89).alias("y"),
+    )
+
+
+def _lattice_polygons(spark, w=8, h=8):
+    rows = []
+    pid = 0
+    for row in range(h):
+        for col in range(w):
+            x, y = float(col), float(row)
+            ring = [[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]]
+            rows.append((pid, 0, ring))
+            pid += 1
+    return spark.createDataFrame(
+        rows, "poly_id long, ring_seq int, coords array<array<double>>"
+    )
+
+
+def _docs_to_spans(documents: DataFrame, grid: int = 16) -> DataFrame:
+    """Wrap the relational documents table into the interleaved
+    (doc_id, spans) corpus shape (BASELINE.json input_hint): every doc gets
+    a text span plus a lattice-polygon geometry span keyed by doc_id, so
+    interior edges are shared bit-identically (junction/dedup stressor)."""
+    d = documents.select(
+        F.col("doc_id").cast("long").alias("did"), F.col("text")
+    )
+    col = (F.col("did") % grid).cast("double")
+    row = ((F.col("did") / grid).cast("long") % grid).cast("double")
+    ring = F.array(
+        F.array(col, row),
+        F.array(col + 1, row),
+        F.array(col + 1, row + 1),
+        F.array(col, row + 1),
+        F.array(col, row),
+    )
+    geom_json = F.concat(
+        F.lit('{"type": "Polygon", "coordinates": ['),
+        F.to_json(ring),
+        F.lit("]}"),
+    )
+    return d.select(
+        F.format_string("doc_%08d", "did").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                geom_json.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(1000).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 documents -> interleaved spans -> full topology."""
+    from topojson_spark.topology import Topology
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    corpus = _docs_to_spans(docs)
+    topo = Topology(corpus, prequantize=False)
+    return topo.arcs.select(
+        "final_idx",
+        "is_shared",
+        F.size("coords").alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_bounds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_junction_groupby(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_neigh"))
+        .where(F.col("n_neigh") > 1)
+        .select("l_partkey", "n_neigh")
+    )
+
+
+def q_dedup_keepmin(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_shared_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+        .where(F.col("n_refs") > 1)
+        .select("o_custkey", "n_refs")
+    )
+
+
+def q_filter_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value") > 100.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select("event_type", "n", "min_value", "max_value")
+    )
+
+
+def q_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(10)
+
+
+def q_join_region(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("r_name", "n_customers")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_langid(spark, sf_dir):
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash(spark, sf_dir):
+    sig = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)]
+    )
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    from topojson_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, QVEC, 20)
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+    )
+
+
+def q_pip(spark, sf_dir):
+    from topojson_spark.spatial.pip import point_in_polygon_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        ((F.col("vec_id") % 16) * 0.5 + 0.25).alias("x"),
+        (F.floor((F.col("vec_id") % 256) / 16) * 0.5 + 0.25).alias("y"),
+    )
+    polys = _lattice_polygons(spark, 8, 8)
+    return point_in_polygon_join(pts, polys, (0.0, 0.0, 8.0, 8.0), level=4)
+
+
+def q_raster(spark, sf_dir):
+    from topojson_spark.spatial.tiles import rasterize_points
+
+    pts = _derived_points(spark, sf_dir)
+    out = rasterize_points(pts, (0.0, 0.0, 8.0, 8.0), zoom=3)
+    return out.select("tile_x", "tile_y", "n")
+
+
+def q_knn(spark, sf_dir):
+    from topojson_spark.spatial.knn import knn_join
+
+    pts = _derived_points(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 15)
+    qs = emb.select(
+        F.col("vec_id").alias("qid"),
+        (((F.col("vec_id") * 7) % 13) * 8.0 / 13).alias("x"),
+        (((F.col("vec_id") * 11) % 17) * 8.0 / 17).alias("y"),
+    )
+    out = knn_join(qs, pts, k=5, bbox=(0.0, 0.0, 8.0, 8.0), level=3,
+                   max_rings=2)
+    return out.select("qid", "point_id", "rank")
+
+
+def q_topology_mosaic(spark, sf_dir):
+    """Full pipeline over the deterministic synthetic corpus (rows-only:
+    geometry semantics checked by tests/test_pipeline.py instead)."""
+    from topojson_spark.sources.corpus import generate_documents
+    from topojson_spark.topology import Topology
+
+    docs = generate_documents(spark, n_docs=80, grid_w=8, grid_h=8)
+    topo = Topology(docs, prequantize=False)
+    return topo.arcs.select(
+        "final_idx", "is_shared", F.size("coords").alias("n_points")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only; decode is a deterministic stub)."""
+    from topojson_spark.functions.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 64)
+    return extract_features(media).select("media_id", "payload_sha1")
+
+
+def q_span_roundtrip(spark, sf_dir):
+    """Span-sequence invariant: corpus -> flat span manifest (rows-only)."""
+    from topojson_spark.sources.corpus import generate_documents, span_manifest
+
+    docs = generate_documents(spark, n_docs=100, grid_w=8, grid_h=8)
+    return span_manifest(spark, docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bounds_agg": q_bounds,
+        "junction_groupby": q_junction_groupby,
+        "dedup_keepmin": q_dedup_keepmin,
+        "shared_count": q_shared_count,
+        "filter_agg": q_filter_agg,
+        "topk_orders": q_topk,
+        "join_region": q_join_region,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "language_id": q_langid,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash,
+        "minhash_lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "pip_lattice": q_pip,
+        "raster_tiles": q_raster,
+        "knn_grid": q_knn,
+        "topology_mosaic": q_topology_mosaic,
+        "media_features": q_media_features,
+        "span_roundtrip": q_span_roundtrip,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+
+def _sh_cte(doc_filter: str = "") -> str:
+    """Shared CTEs: normalized tokens + distinct 3-gram shingle hashes."""
+    return f"""
+    toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents {doc_filter}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substring(md5(g), 1, 7))::BIGINT AS shingle_hash
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS g
+        FROM toks WHERE len(tk) >= 3
+      )
+    )"""
+
+
+def _minhash_sig_sql(doc_filter: str = "") -> str:
+    mins = ",\n        ".join(
+        f"min((shingle_hash * {MINHASH_AS[i]} + {MINHASH_BS[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(8)
+    )
+    return f"""WITH {_sh_cte(doc_filter)},
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM sh GROUP BY doc_id
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    simhash_bits = ",\n        ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    simhash_sum = " + ".join(
+        f"((CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i in range(32)
+    )
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    lang_scores = ", ".join(
+        f"len(list_filter(tk, t -> list_contains([{', '.join(chr(39) + w + chr(39) for w in ws)}], t))) AS {lang}"
+        for lang, ws in {
+            "en": ["the", "and", "of", "to", "is"],
+            "de": ["der", "die", "und", "das", "ist"],
+            "fr": ["le", "la", "et", "les", "est"],
+            "es": ["el", "la", "que", "los", "es"],
+        }.items()
+    )
+    lang_pick = "CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' " + " ".join(
+        f"WHEN {l} = greatest(en, de, fr, es) THEN '{l}'" for l in N_LANG
+    ) + " END"
+    qvec_sql = "[" + ", ".join(str(v) for v in QVEC) + "]"
+    bands_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, ':', h{2*b+1}) AS bucket FROM sig"
+        for b in range(4)
+    )
+
+    return {
+        "bounds_agg": """
+            SELECT min(value) AS min_value, max(value) AS max_value,
+                   count(*) AS n FROM events""",
+        "junction_groupby": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_neigh
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) > 1""",
+        "dedup_keepmin": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)""",
+        "shared_count": """
+            SELECT o_custkey, count(*) AS n_refs FROM orders
+            GROUP BY o_custkey HAVING count(*) > 1""",
+        "filter_agg": """
+            SELECT event_type, count(*) AS n, min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events WHERE value > 100.0 GROUP BY event_type""",
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "join_region": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "token_count": f"""
+            SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents""",
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
+            )
+            SELECT doc_id,
+              length(text) AS n_chars_q,
+              len(tk) AS n_tokens,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                / greatest(length(text), 1) AS alpha_ratio,
+              length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                / greatest(length(text), 1) AS punct_ratio,
+              len(list_filter(tk, t -> list_contains([{stop_list}], t)))
+                / greatest(len(tk), 1) AS stopword_ratio
+            FROM t""",
+        "language_id": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            s AS (SELECT doc_id, {lang_scores} FROM t)
+            SELECT doc_id, {lang_pick} AS lang_guess FROM s""",
+        "fingerprint": f"""
+            SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+            FROM documents""",
+        "simhash": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS tt FROM t),
+            th AS (SELECT doc_id,
+                   ('0x' || substring(md5(tt), 1, 15))::BIGINT AS th FROM tok),
+            agg AS (SELECT doc_id, {simhash_bits} FROM th GROUP BY doc_id)
+            SELECT doc_id, {simhash_sum} AS simhash FROM agg""",
+        "minhash_signatures": _minhash_sig_sql()
+        + "\n    SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig",
+        "minhash_lsh_pairs": _minhash_sig_sql()
+        + f""",
+    banded AS (
+      {bands_union}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id""",
+        "ngram_jaccard": f"""WITH {_sh_cte("WHERE doc_id % 10 = 0")},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b
+        ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard_r
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.2""",
+        "cosine_topk": f"""
+            WITH q AS (SELECT {qvec_sql}::DOUBLE[] AS qv),
+            scored AS (
+              SELECT vec_id,
+                list_aggregate(list_transform(
+                    list_zip(embedding, (SELECT qv FROM q)),
+                    p -> p[1]::DOUBLE * p[2]), 'sum')
+                / (greatest(sqrt(list_aggregate(list_transform(embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)
+                   * sqrt(list_aggregate(list_transform((SELECT qv FROM q),
+                        e -> e * e), 'sum'))) AS cos_sim
+              FROM embeddings
+            )
+            SELECT vec_id, round(cos_sim, 6) AS cos_sim_r,
+                   row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+            QUALIFY rank <= 20""",
+        "pip_lattice": """
+            SELECT vec_id AS point_id,
+                   (floor((vec_id % 16) * 0.5 + 0.25)
+                    + 8 * floor(floor((vec_id % 256) / 16) * 0.5 + 0.25))::BIGINT
+                   AS poly_id
+            FROM embeddings""",
+        "raster_tiles": """
+            WITH pts AS (
+              SELECT (event_id % 97) * 8.0 / 97 AS x,
+                     ((event_id * 31) % 89) * 8.0 / 89 AS y
+              FROM events
+            )
+            SELECT least(greatest(floor(x / 8.0 * 8)::BIGINT, 0), 7) AS tile_x,
+                   least(greatest(floor(y / 8.0 * 8)::BIGINT, 0), 7) AS tile_y,
+                   count(*) AS n
+            FROM pts GROUP BY 1, 2""",
+        "knn_grid": """
+            WITH pts AS (
+              SELECT event_id AS point_id,
+                     (event_id % 97) * 8.0 / 97 AS px,
+                     ((event_id * 31) % 89) * 8.0 / 89 AS py
+              FROM events
+            ),
+            qs AS (
+              SELECT vec_id AS qid,
+                     ((vec_id * 7) % 13) * 8.0 / 13 AS qx,
+                     ((vec_id * 11) % 17) * 8.0 / 17 AS qy
+              FROM embeddings WHERE vec_id < 15
+            ),
+            cand AS (
+              SELECT qid, point_id,
+                     sqrt((qx - px) * (qx - px) + (qy - py) * (qy - py)) AS dist
+              FROM qs CROSS JOIN pts
+            )
+            SELECT qid, point_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dist, point_id) AS rank
+            FROM cand
+            QUALIFY rank <= 5""",
+        # topology_mosaic / media_features / span_roundtrip: rows-only
+        # (geometry + binary ops; covered by tests/test_pipeline.py,
+        #  tests/test_spatial.py, tests/test_text.py)
+    }

@@ -1,0 +1,140 @@
+"""Spatial layer tests (north rule operators): cells, PIP, kNN, tiles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from topojson_spark.spatial import cells as C
+from topojson_spark.spatial.knn import knn_brute_force, knn_join
+from topojson_spark.spatial.pip import point_in_polygon_join
+from topojson_spark.spatial.tiles import (
+    assign_arcs_to_tiles,
+    raster_to_cells,
+    rasterize_points,
+)
+
+BBOX = (0.0, 0.0, 8.0, 8.0)
+
+
+def test_morton_roundtrip():
+    ix = np.array([0, 1, 5, 1000, (1 << 20) - 1])
+    iy = np.array([0, 3, 5, 999, 12345])
+    cid = C.encode(ix, iy, 20)
+    lvl, rx, ry = C.decode(cid)
+    assert (lvl == 20).all()
+    assert (rx == ix).all() and (ry == iy).all()
+
+
+def test_cell_col_matches_numpy(spark):
+    pts = [(float(i) * 0.7 + 0.1, float(i) * 0.9 + 0.2) for i in range(10)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = [
+        r["c"]
+        for r in df.select(
+            C.cell_col(F.col("x"), F.col("y"), BBOX, 6).alias("c")
+        ).collect()
+    ]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    want = C.cell_id(xs, ys, BBOX, 6).tolist()
+    assert got == want
+
+
+def test_ring_cells():
+    r0 = C.ring_cells(4, 4, 6, 0)
+    assert len(r0) == 1
+    r1 = C.ring_cells(4, 4, 6, 1)
+    assert len(r1) == 8
+    r2 = C.ring_cells(0, 0, 6, 1)  # corner clipped
+    assert len(r2) == 3
+
+
+def _lattice_polygons(spark, w, h):
+    rows = []
+    pid = 0
+    for row in range(h):
+        for col in range(w):
+            x, y = float(col), float(row)
+            ring = [[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]]
+            rows.append((pid, 0, ring))
+            pid += 1
+    return spark.createDataFrame(
+        rows, "poly_id long, ring_seq int, coords array<array<double>>"
+    )
+
+
+def test_pip_lattice_ground_truth(spark):
+    polys = _lattice_polygons(spark, 4, 4)
+    pts = [(i, 0.5 + (i % 4), 0.5 + (i // 4)) for i in range(16)]
+    points = spark.createDataFrame(pts, "point_id long, x double, y double")
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(points, polys, (0, 0, 4, 4), level=4).collect()
+    }
+    want = {(i, (i % 4) + 4 * (i // 4)) for i in range(16)}
+    assert got == want
+
+
+def test_pip_hole(spark):
+    outer = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]
+    hole = [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]]
+    polys = spark.createDataFrame(
+        [(0, 0, outer), (0, 1, hole)],
+        "poly_id long, ring_seq int, coords array<array<double>>",
+    )
+    points = spark.createDataFrame(
+        [(0, 0.5, 0.5), (1, 2.0, 2.0), (2, 3.5, 0.5)],
+        "point_id long, x double, y double",
+    )
+    got = sorted(
+        r["point_id"]
+        for r in point_in_polygon_join(points, polys, (0, 0, 4, 4), 3).collect()
+    )
+    assert got == [0, 2]  # the hole-interior point is excluded
+
+
+def test_knn_matches_brute_force(spark):
+    rng = np.random.default_rng(11)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 8, (200, 2)))]
+    qs = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(1, 7, (10, 2)))]
+    points = spark.createDataFrame(pts, "point_id long, x double, y double")
+    queries = spark.createDataFrame(qs, "qid long, x double, y double")
+    got = {
+        (r["qid"], r["rank"]): r["point_id"]
+        for r in knn_join(queries, points, 5, BBOX, level=3, max_rings=2).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): r["point_id"]
+        for r in knn_brute_force(queries, points, 5).collect()
+    }
+    assert got == want
+
+
+def test_tiles_assignment(spark):
+    arcs = spark.createDataFrame(
+        [
+            (0, [[0.5, 0.5], [1.5, 0.5]]),  # crosses tiles (0,0) and (1,0) @z3
+            (1, [[6.5, 6.5], [6.6, 6.6]]),
+        ],
+        "arc_id long, coords array<array<double>>",
+    )
+    tiles = assign_arcs_to_tiles(arcs, BBOX, zoom=3)
+    got = {
+        (r["arc_id"], r["tile_x"], r["tile_y"]) for r in tiles.collect()
+    }
+    assert (0, 0, 0) in got and (0, 1, 0) in got
+    assert (1, 6, 6) in got
+    assert len([g for g in got if g[0] == 0]) == 2
+
+
+def test_rasterize_and_back(spark):
+    pts = [(float(x) + 0.5, float(y) + 0.5, 1.0) for x in range(8) for y in range(8)]
+    points = spark.createDataFrame(pts, "x double, y double, v double")
+    raster = rasterize_points(points, BBOX, zoom=3, value_col="v")
+    rows = raster.collect()
+    assert len(rows) == 64
+    assert all(r["n"] == 1 for r in rows)
+    cells_back = raster_to_cells(raster, BBOX, 3, F.col("n") >= 1)
+    assert cells_back.count() == 64
+    one = cells_back.limit(1).collect()[0]["ring"]
+    assert len(one) == 5

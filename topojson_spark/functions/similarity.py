@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. Dot products via
+  F.aggregate/zip_with against a broadcast query vector — JVM-side, no UDF.
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; queries
+  probe their bucket (+ optional multi-probe) then rank exactly. The scale
+  path: the shuffle is one equi-join on the signature instead of a cross
+  join.
+- IVF-style variant: k coarse centroids (fixed deterministic seeds),
+  assign -> probe nearest n_probe centroids.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: str, q: Sequence[float]):
+    """Dot product of an array column with a literal vector (codegen)."""
+    qarr = F.array(*[F.lit(float(v)) for v in q])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), qarr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(vec_col: str):
+    return F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector: (id, cos_sim, rank)."""
+    qn = float(np.linalg.norm(np.asarray(query, dtype=np.float64))) or 1.0
+    scored = embeddings.select(
+        F.col(id_col),
+        (
+            _dot_lit(vec_col, query)
+            / (F.greatest(_norm(vec_col), F.lit(1e-12)) * F.lit(qn))
+        ).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec_col: str, planes: np.ndarray):
+    """Sign-bit signature as a long column (random hyperplane LSH)."""
+    sig = None
+    for i, plane in enumerate(planes):
+        bit = F.when(_dot_lit(vec_col, plane.tolist()) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def lsh_bucket_table(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Corpus bucketed by LSH signature — precomputable/persistable."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return embeddings.select(
+        id_col, vec_col, lsh_signature_col(vec_col, planes).alias("sig")
+    )
+
+
+def lsh_topk(
+    bucketed: DataFrame,
+    query: Sequence[float],
+    k: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket (and single-bit-flip neighbors up
+    to ``multiprobe`` flips), rank exactly within the probed set."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(len(q), n_planes, seed)
+    bits = (planes @ q >= 0).astype(np.int64)
+    base = int((bits << np.arange(n_planes)).sum())
+    probes = {base}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(base ^ (1 << i))
+    cand = bucketed.where(F.col("sig").isin(list(probes)))
+    return cosine_topk(cand, query, k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: List[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+    Centroid count is small -> the distance expressions are unrolled
+    literals, fully codegen; returns (id, vec, centroid_id)."""
+    d2 = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(f"d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    scored = embeddings.select(id_col, vec_col, *d2)
+    best = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
+    pick = None
+    for i in range(len(centroids)):
+        cond = F.col(f"d{i}") == best
+        pick = F.when(cond, i) if pick is None else pick.when(cond, i)
+    return scored.select(id_col, vec_col, pick.alias("centroid_id"))

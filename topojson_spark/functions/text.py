@@ -1,0 +1,283 @@
+"""Text-pipeline operators over the ``documents`` table.
+
+Large-scale training-data preparation ops, each a pure DataFrame transform
+designed so the same logic is expressible as the DuckDB oracle SQL in
+__spark_entry__.py (shared deterministic hash = md5-prefix-as-int, available
+in both engines):
+
+- exact dedup:      md5(text) groupBy keep-min doc_id
+- ngram jaccard:    shingle sets + pairwise jaccard among LSH candidates
+- minhash LSH:      k permutation-free minhashes from the md5 shingle hash
+                    (h_i = (a_i * h + b_i) mod p), banded into buckets
+- simhash:          64-bit sign-aggregate of token hashes
+- quality score:    length/punctuation/stopword ratios
+- language id:      stopword-hit heuristic over a tiny built-in lexicon
+- token count:      whitespace + punctuation-aware regex count
+- fingerprint:      normalized-token md5 (content-defined document identity)
+
+All hot paths are built-in pyspark.sql.functions (JVM/codegen); nothing here
+uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# modulus for the universal-hash family; coefficients sized so
+# (h % P) * a + b stays < 2^62 (no 64-bit overflow -> Spark and DuckDB agree)
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+MINHASH_AS = [1103515245, 1140671485, 1664525, 22695477,
+              134775813, 214013, 69069, 1103515246]
+MINHASH_BS = [12345, 1013904223, 1013904225, 1, 2531011, 2533, 362437, 777]
+
+
+def _md5_64(col):
+    """Deterministic 60-bit int hash from md5 hex — identical expression
+    exists in DuckDB (see oracle_sql), unlike xxhash64/hash()."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_28(col):
+    """28-bit md5-prefix hash (7 hex chars) for overflow-safe arithmetic."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def normalized_text(col):
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " ")
+
+
+def tokens_col(col):
+    """Whitespace tokens of the normalized text, empty strings dropped."""
+    return F.filter(F.split(normalized_text(col), r"\s+"), lambda t: t != "")
+
+
+# ------------------------------------------------------------ simple ops
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep the min doc_id per exact text duplicate group."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("text_hash", "keep_doc_id", "n_dups")
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length/punct/stopword heuristics; one row per doc with components so
+    thresholds can move downstream without recomputation."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "a", "an", "and", "of", "to", "in", "is"),
+        )
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (stop_hits / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "los", "es"],
+}
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language guess (deterministic, SQL-expressible)."""
+    toks = tokens_col(F.col("text"))
+    scores = [
+        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(lang)
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+    scored = documents.select("doc_id", *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(l) for l in langs])
+    pick = F.when(best == 0, F.lit("und"))
+    for l in langs:  # first language reaching the max wins (deterministic)
+        pick = pick.when(F.col(l) == best, F.lit(l))
+    return scored.select("doc_id", pick.alias("lang_guess"))
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-preserving normalized-token fingerprint (md5 of the joined
+    normalized tokens) — content-defined identity robust to case/punct."""
+    return documents.select(
+        "doc_id",
+        F.md5(F.array_join(tokens_col(F.col("text")), " ")).alias("fp"),
+    )
+
+
+# ------------------------------------------------------------ shingles
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash long) distinct word n-grams."""
+    toks = tokens_col(F.col("text"))
+    grams = F.expr(
+        f"""
+        filter(
+          transform(sequence(0, size(_toks) - {n}),
+                    i -> array_join(slice(_toks, i + 1, {n}), ' ')),
+          g -> g is not null)
+        """
+    )
+    return (
+        documents.withColumn("_toks", toks)
+        .where(F.size("_toks") >= n)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .select("doc_id", _md5_28(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, sig array<long>) — min over shingles of affine re-hashes."""
+    sh = shingles(documents, n)
+    # h_i = (a_i * h + b_i) mod P; h < 2^28, a < 2^31 -> product < 2^59
+    mins = [
+        F.min(
+            (F.col("shingle_hash") * MINHASH_AS[i] + MINHASH_BS[i]) % MINHASH_P
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n: int = 3, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate candidate pairs: band the signature, bucket-join.
+    Returns (doc_a, doc_b, n_bands_hit) with doc_a < doc_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes)
+    # bucket key = the band's signature values themselves (joined as text),
+    # not an engine-specific hash -> reproducible in the DuckDB oracle
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle sets, pre-filtered by sharing at
+    least one shingle (the scalable path pre-filters by LSH instead):
+    (doc_a, doc_b, jaccard)."""
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle_hash") == F.col("b.shingle_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """64-bit simhash of token hashes: per bit, sign of sum(+-1).
+    Token hash = md5-based (oracle-reproducible); bit extraction via
+    integer shifts — all codegen."""
+    tok = (
+        documents.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+        .select("doc_id", _md5_64(F.col("t")).alias("th"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,429 @@
+"""Extract stage: geometry shredding into relational tables.
+
+Re-expresses /root/reference/topojson/core/extract.py (the 18 input adapters
+and ring/line decomposition) as a mapInPandas over a ``features_in`` frame:
+
+    features_in(feature_seq long, fkey string, object_name string,
+                geom_json string, properties map<string,string>)
+
+Outputs three frames (the reference's linestrings/coordinates/bookkeeping
+dict keys become first-class tables — SURVEY.md §1.4):
+
+    lines (feature_seq, fkey, object_name, unit_seq, ring_seq,
+           gtype, is_ring, coords array<array<double>>)
+    points(feature_seq, fkey, object_name, unit_seq, pt_seq, x, y)
+    features(feature_seq, fkey, object_name, template, properties)
+
+``unit_seq`` numbers the reference's bookkeeping_geoms entries within a
+feature (one polygon = one unit holding its rings; one linestring = one
+unit); ``template`` is the feature's object structure (extract.py:459-470)
+with unit references in place of coordinates, consumed by the hashmap stage.
+
+Line extract order — the reference's positional identity — is the total
+order (feature_seq, unit_seq, ring_seq); ids stay content-derived until the
+final dense renumber at write time (SURVEY.md §4 determinism note).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import kernels as K
+from ..options import TopoOptions
+
+FEATURES_IN_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_seq", T.LongType()),
+        T.StructField("fkey", T.StringType()),
+        T.StructField("object_name", T.StringType()),
+        T.StructField("geom_json", T.StringType()),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_seq", T.LongType()),
+        T.StructField("fkey", T.StringType()),
+        T.StructField("object_name", T.StringType()),
+        T.StructField("unit_seq", T.IntegerType()),
+        T.StructField("ring_seq", T.IntegerType()),
+        T.StructField("gtype", T.StringType()),
+        T.StructField("is_ring", T.BooleanType()),
+        T.StructField("coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+POINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_seq", T.LongType()),
+        T.StructField("fkey", T.StringType()),
+        T.StructField("object_name", T.StringType()),
+        T.StructField("unit_seq", T.IntegerType()),
+        T.StructField("pt_seq", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_seq", T.LongType()),
+        T.StructField("fkey", T.StringType()),
+        T.StructField("object_name", T.StringType()),
+        T.StructField("template", T.StringType()),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("invalid", T.BooleanType()),
+    ]
+)
+
+
+# ------------------------------------------------------------ geometry walk
+
+
+def _orient_rings(rings: list, winding_order: Optional[str]) -> list:
+    """Polygon winding normalization at extract time (extract.py:296-299 via
+    ops.py:793-838): CW_CCW -> exterior CW + holes CCW; CCW_CW inverse."""
+    if winding_order is None:
+        return rings
+    want_ccw_ext = winding_order == "CCW_CW"
+    out = []
+    for i, ring in enumerate(rings):
+        arr = np.asarray(ring, dtype=np.float64)
+        ccw = want_ccw_ext if i == 0 else not want_ccw_ext
+        out.append(K.orient_ring(arr, ccw).tolist())
+    return out
+
+
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    """Proper self-intersection test for one ring (light ``is_valid``
+    replacement; the reference drops invalid geometries via shapely,
+    extract.py:739-742)."""
+    n = len(ring) - 1
+    if n < 3:
+        return True
+    p = ring[:-1]
+    r = ring[1:] - ring[:-1]
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent via closure
+            d = r[i][0] * r[j][1] - r[i][1] * r[j][0]
+            if d == 0:
+                continue
+            qp = p[j] - p[i]
+            t = (qp[0] * r[j][1] - qp[1] * r[j][0]) / d
+            u = (qp[0] * r[i][1] - qp[1] * r[i][0]) / d
+            if 0 < t < 1 and 0 < u < 1:
+                return True
+    return False
+
+
+class _FeatureParser:
+    """Walks one GeoJSON geometry/Feature, collecting lines/points/units."""
+
+    def __init__(self, winding_order: Optional[str]):
+        self.winding_order = winding_order
+        self.lines: list = []
+        self.points: list = []
+        self.unit_seq = 0
+        self.invalid = False
+
+    def parse(self, geom: dict) -> Optional[dict]:
+        gtype = geom.get("type")
+        if gtype == "Feature":
+            inner = self.parse(geom["geometry"])
+            return inner
+        if gtype == "GeometryCollection":
+            subs = [self.parse(g) for g in geom.get("geometries", [])]
+            return {"type": "GeometryCollection", "geometries": subs}
+        if gtype == "Point":
+            coords = geom.get("coordinates")
+            if not coords:
+                return {"type": gtype, "coordinates": None}
+            u = self.unit_seq
+            self.unit_seq += 1
+            self.points.append((u, 0, float(coords[0]), float(coords[1])))
+            return {"type": gtype, "coordinates": [u]}
+        if gtype == "MultiPoint":
+            refs = []
+            for c in geom.get("coordinates") or []:
+                u = self.unit_seq
+                self.unit_seq += 1
+                self.points.append((u, 0, float(c[0]), float(c[1])))
+                refs.append(u)
+            return {"type": gtype, "coordinates": refs}
+        if gtype == "LineString":
+            coords = geom.get("coordinates")
+            if not coords or len(coords) < 2:
+                # empty linestring -> arcs None (extract.py:257-260)
+                return {"type": gtype, "arcs": None}
+            u = self.unit_seq
+            self.unit_seq += 1
+            self.lines.append((u, 0, gtype, False, coords))
+            return {"type": gtype, "arcs": [u]}
+        if gtype == "MultiLineString":
+            units = []
+            for line in geom.get("coordinates") or []:
+                u = self.unit_seq
+                self.unit_seq += 1
+                self.lines.append((u, 0, gtype, False, line))
+                units.append(u)
+            return {"type": gtype, "arcs": units}
+        if gtype == "Polygon":
+            rings = geom.get("coordinates") or []
+            if rings and not isinstance(rings[0][0], (list, tuple)):
+                # tolerate unnested ring (reference test fixtures do this)
+                rings = [rings]
+            rings = self._validate_rings(rings)
+            if rings is None:
+                return None
+            rings = _orient_rings(rings, self.winding_order)
+            u = self.unit_seq
+            self.unit_seq += 1
+            for ri, ring in enumerate(rings):
+                self.lines.append((u, ri, gtype, True, ring))
+            return {"type": gtype, "arcs": [u]}
+        if gtype == "MultiPolygon":
+            units = []
+            for poly in geom.get("coordinates") or []:
+                rings = self._validate_rings(poly)
+                if rings is None:
+                    return None
+                rings = _orient_rings(rings, self.winding_order)
+                u = self.unit_seq
+                self.unit_seq += 1
+                for ri, ring in enumerate(rings):
+                    self.lines.append((u, ri, "MultiPolygon", True, ring))
+                units.append(u)
+            return {"type": gtype, "arcs": units}
+        # unknown type -> invalid
+        self.invalid = True
+        return None
+
+    def _validate_rings(self, rings: list) -> Optional[list]:
+        out = []
+        for ring in rings:
+            arr = np.asarray(ring, dtype=np.float64)
+            if len(arr) < 3:
+                self.invalid = True
+                return None
+            if not np.array_equal(arr[0], arr[-1]):
+                arr = np.vstack([arr, arr[:1]])
+            if len(arr) < 4 or _ring_self_intersects(arr):
+                self.invalid = True
+                return None
+            out.append(arr.tolist())
+        return out
+
+
+def _parse_batch(
+    pdf: pd.DataFrame, winding_order: Optional[str]
+) -> tuple:
+    lines_rows, points_rows, feat_rows = [], [], []
+    for row in pdf.itertuples(index=False):
+        try:
+            geom = json.loads(row.geom_json)
+        except (json.JSONDecodeError, TypeError):
+            geom = None
+        parser = _FeatureParser(winding_order)
+        template = parser.parse(geom) if isinstance(geom, dict) else None
+        invalid = parser.invalid or template is None
+        props = row.properties
+        if isinstance(geom, dict) and geom.get("type") == "Feature":
+            gprops = geom.get("properties") or {}
+            merged = dict(props or {})
+            merged.update({k: str(v) for k, v in gprops.items()})
+            props = merged
+        feat_rows.append(
+            (
+                row.feature_seq,
+                row.fkey,
+                row.object_name,
+                json.dumps(template) if not invalid else None,
+                props,
+                bool(invalid),
+            )
+        )
+        if invalid:
+            continue
+        for u, ri, gt, is_ring, coords in parser.lines:
+            lines_rows.append(
+                (
+                    row.feature_seq,
+                    row.fkey,
+                    row.object_name,
+                    u,
+                    ri,
+                    gt,
+                    is_ring,
+                    [[float(c[0]), float(c[1])] for c in coords],
+                )
+            )
+        for u, ps, x, y in parser.points:
+            points_rows.append(
+                (row.feature_seq, row.fkey, row.object_name, u, ps, x, y)
+            )
+    return lines_rows, points_rows, feat_rows
+
+
+# ------------------------------------------------------------ stage API
+
+
+def extract(
+    features_in: DataFrame, options: TopoOptions
+) -> tuple:
+    """Run the extract stage. Returns (lines, points, features) DataFrames.
+
+    One mapInPandas pass per output frame over the same narrow input; the
+    parse itself is cheap relative to the downstream shuffles and stays
+    entirely within Arrow batches (no Spark-row Python UDFs).
+    """
+    winding = options.winding_order
+
+    def emit_lines(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows, _, _ = _parse_batch(pdf, winding)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in LINES_SCHEMA.fields]
+            )
+
+    def emit_points(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            _, rows, _ = _parse_batch(pdf, winding)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in POINTS_SCHEMA.fields]
+            )
+
+    def emit_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            _, _, rows = _parse_batch(pdf, winding)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
+            )
+
+    lines = features_in.mapInPandas(emit_lines, schema=LINES_SCHEMA)
+    points = features_in.mapInPandas(emit_points, schema=POINTS_SCHEMA)
+    features = features_in.mapInPandas(emit_features, schema=FEATURES_SCHEMA)
+    return lines, points, features
+
+
+def features_from_mapping(
+    spark: SparkSession,
+    data,
+    options: TopoOptions,
+) -> DataFrame:
+    """Driver-side adapter for dict / list-of-geometries input — the parity
+    path mirroring extract.py:592-793 (_extract_list/_extract_dictionary).
+
+    Accepts a dict {key: geometry-dict}, a list of geometry dicts, a single
+    geometry dict, a GeoJSON FeatureCollection dict, or (with multiple
+    object_name entries) a list of such collections.
+    """
+    names = options.object_names()
+    rows = []
+
+    def add_rows(mapping: dict, object_name: str, base_seq: int) -> int:
+        seq = base_seq
+        for key, obj in mapping.items():
+            props = None
+            geom = obj
+            if isinstance(obj, dict) and "geometry" in obj and not obj.get("type"):
+                props = {
+                    k: str(v) for k, v in obj.items() if k != "geometry"
+                }
+                geom = obj["geometry"]
+            rows.append(
+                (seq, str(key), object_name, json.dumps(geom), props)
+            )
+            seq += 1
+        return seq
+
+    def to_mapping(data_obj, ignore_index: bool) -> dict:
+        if isinstance(data_obj, dict) and str(
+            data_obj.get("type", "")
+        ).casefold() == "featurecollection":
+            feats = data_obj["features"]
+            zfill = len(str(len(feats)))
+            mapping = {}
+            for ix, feature in enumerate(feats):
+                fid = feature.get("id")
+                key = (
+                    f"feature_{str(ix).zfill(zfill)}"
+                    if (ignore_index or fid is None)
+                    else fid
+                )
+                if key in mapping:
+                    raise IndexError(
+                        "index in data duplicated, use `ignore_index=True` "
+                        "to overwrite index"
+                    )
+                geom = dict(feature["geometry"])
+                if feature.get("properties"):
+                    geom = {
+                        "type": "Feature",
+                        "geometry": feature["geometry"],
+                        "properties": feature["properties"],
+                    }
+                mapping[key] = geom
+            return mapping
+        if isinstance(data_obj, dict):
+            return data_obj
+        if isinstance(data_obj, list):
+            return dict(enumerate(data_obj))
+        return {"feature_0": data_obj}
+
+    if len(names) > 1:
+        if not isinstance(data, list) or len(data) != len(names):
+            raise LookupError(
+                "the number of data objects does not match the number of "
+                "object_name"
+            )
+        seq = 0
+        for name, sub in zip(names, data):
+            seq = add_rows(to_mapping(sub, options.ignore_index), name, seq)
+    else:
+        add_rows(to_mapping(data, options.ignore_index), names[0], 0)
+
+    return spark.createDataFrame(rows, schema=FEATURES_IN_SCHEMA)
+
+
+def features_from_documents(
+    documents: DataFrame, object_name: str = "data"
+) -> DataFrame:
+    """The corpus adapter: every ``kind='geometry'`` span becomes a feature.
+
+    feature_seq must reproduce the reference's dict-insertion order, i.e.
+    (doc order, span order). doc_ids are zero-padded and offsets strictly
+    increasing, so the order key is content-derived: a dense rank over
+    (doc_id, offset) — computed scalably at the end of the pipeline; here we
+    derive a *sortable* surrogate from the numeric doc suffix when present,
+    falling back to a rank window otherwise.
+    """
+    spans = documents.select(
+        "doc_id", F.posexplode("spans").alias("span_ix", "span")
+    ).where(F.col("span.kind") == "geometry")
+    # content-derived global order: doc number * 2^20 + span index
+    docnum = F.regexp_extract("doc_id", r"(\d+)$", 1)
+    feature_seq = (
+        F.when(docnum != "", docnum.cast("long"))
+        .otherwise(F.xxhash64("doc_id") & F.lit(0x7FFFFFFF))
+        * F.lit(1 << 20)
+        + F.col("span_ix")
+    )
+    return spans.select(
+        feature_seq.alias("feature_seq"),
+        F.concat_ws("#", "doc_id", F.col("span_ix").cast("string")).alias("fkey"),
+        F.lit(object_name).alias("object_name"),
+        F.col("span.text").alias("geom_json"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias(
+            "properties"
+        ),
+    )

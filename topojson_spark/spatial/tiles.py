@@ -1,0 +1,114 @@
+"""Raster <-> vector tile assignment (north rule; no reference counterpart).
+
+A *tile* is a cell of the index grid at zoom z (2^z x 2^z over the bbox).
+
+- ``assign_arcs_to_tiles``: vector -> tile. Every arc lands in each tile its
+  segments touch (segment-bbox cover, conservative). This is the shard key
+  for emitting one quantized/delta-encoded topology per tile at scale.
+- ``rasterize_points``: vector -> raster. Per-tile point counts/aggregates
+  (a plain groupBy — pure codegen).
+- ``raster_to_cells``: raster -> vector. Threshold a per-tile raster back
+  into cell polygons (the polygonize seed; cells are the polygons).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells as C
+
+
+def _tile_bounds_cols(z: int, bbox: Tuple):
+    n = 1 << z
+    w = (bbox[2] - bbox[0]) or 1.0
+    h = (bbox[3] - bbox[1]) or 1.0
+    return n, w, h
+
+
+def assign_arcs_to_tiles(arcs: DataFrame, bbox: Tuple, zoom: int) -> DataFrame:
+    """arcs(arc_id, coords) -> (arc_id, tile_x, tile_y, tile_id), one row per
+    touched tile. Cover = per-segment bbox tiles, unioned per arc — exact for
+    axis-aligned lattice data, conservative otherwise."""
+    n, w, h = _tile_bounds_cols(zoom, bbox)
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(n - 1))  # noqa: E731
+    segs = arcs.select(
+        "arc_id",
+        F.expr(
+            "explode(transform(slice(coords, 1, size(coords) - 1), "
+            "(c, i) -> struct(c as a, coords[i + 1] as b)))"
+        ).alias("seg"),
+    ).select(
+        "arc_id",
+        F.least(F.col("seg.a")[0], F.col("seg.b")[0]).alias("x0"),
+        F.greatest(F.col("seg.a")[0], F.col("seg.b")[0]).alias("x1"),
+        F.least(F.col("seg.a")[1], F.col("seg.b")[1]).alias("y0"),
+        F.greatest(F.col("seg.a")[1], F.col("seg.b")[1]).alias("y1"),
+    )
+    tiles = (
+        segs.withColumn(
+            "tx0", clamp(F.floor((F.col("x0") - F.lit(bbox[0])) / F.lit(w) * n).cast("long"))
+        )
+        .withColumn(
+            "tx1", clamp(F.floor((F.col("x1") - F.lit(bbox[0])) / F.lit(w) * n).cast("long"))
+        )
+        .withColumn(
+            "ty0", clamp(F.floor((F.col("y0") - F.lit(bbox[1])) / F.lit(h) * n).cast("long"))
+        )
+        .withColumn(
+            "ty1", clamp(F.floor((F.col("y1") - F.lit(bbox[1])) / F.lit(h) * n).cast("long"))
+        )
+        .withColumn("tile_x", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("tile_y", F.explode(F.sequence("ty0", "ty1")))
+        .select("arc_id", "tile_x", "tile_y")
+        .distinct()
+    )
+    return tiles.withColumn(
+        "tile_id", C.grid_cell_col(F.col("tile_x"), F.col("tile_y"), zoom)
+    )
+
+
+def rasterize_points(
+    points: DataFrame, bbox: Tuple, zoom: int, value_col: str | None = None
+) -> DataFrame:
+    """points(x, y[, value]) -> per-tile raster (tile_x, tile_y, tile_id,
+    n, sum_value?)."""
+    n, w, h = _tile_bounds_cols(zoom, bbox)
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(n - 1))  # noqa: E731
+    g = points.withColumn(
+        "tile_x", clamp(F.floor((F.col("x") - F.lit(bbox[0])) / F.lit(w) * n).cast("long"))
+    ).withColumn(
+        "tile_y", clamp(F.floor((F.col("y") - F.lit(bbox[1])) / F.lit(h) * n).cast("long"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    out = g.groupBy("tile_x", "tile_y").agg(*aggs)
+    return out.withColumn(
+        "tile_id", C.grid_cell_col(F.col("tile_x"), F.col("tile_y"), zoom)
+    )
+
+
+def raster_to_cells(
+    raster: DataFrame, bbox: Tuple, zoom: int, predicate
+) -> DataFrame:
+    """raster(tile_x, tile_y, ...) rows passing ``predicate`` -> cell polygon
+    rings (tile_id, ring array<array<double>>) in world coordinates."""
+    n, w, h = _tile_bounds_cols(zoom, bbox)
+    cw, ch = w / n, h / n
+    x0 = F.lit(bbox[0]) + F.col("tile_x") * F.lit(cw)
+    y0 = F.lit(bbox[1]) + F.col("tile_y") * F.lit(ch)
+    x1, y1 = x0 + F.lit(cw), y0 + F.lit(ch)
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+        F.array(x0, y1), F.array(x0, y0),
+    )
+    return (
+        raster.where(predicate)
+        .withColumn(
+            "tile_id", C.grid_cell_col(F.col("tile_x"), F.col("tile_y"), zoom)
+        )
+        .select("tile_id", ring.alias("ring"))
+    )

@@ -1,0 +1,491 @@
+"""Topology orchestrator: the user-facing entry point.
+
+Mirrors the reference's ``topojson.Topology`` surface
+(/root/reference/topojson/core/topology.py) while executing every stage as
+chained DataFrame transformations:
+
+    documents/dict -> extract -> join -> cut -> dedup -> hashmap -> outputs
+
+Stage boundaries are the natural checkpoint/resume points (north rule);
+``write_tables``/``read_tables`` persist and re-ingest the arc store the way
+the reference re-ingests TopoJSON dicts (topology.py:127-132).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions import kernels as K
+from .operators.cut import cut_stage
+from .operators.dedup import dedup_stage
+from .operators.extract import (
+    extract,
+    features_from_documents,
+    features_from_mapping,
+)
+from .operators.hashmap import hashmap_stage
+from .operators.join import join_stage
+from .options import TopoOptions
+
+COORDS_T = T.ArrayType(T.ArrayType(T.DoubleType()))
+
+
+class Topology:
+    """Compute a topology over documents (DataFrame) or driver-side mappings.
+
+    Parameters mirror the reference's Topology kwargs; ``data`` may be:
+    - a DataFrame with (doc_id, spans): the interleaved corpus path,
+    - a DataFrame with FEATURES_IN_SCHEMA columns,
+    - a dict / list / GeoJSON FeatureCollection (driver-side parity path).
+    """
+
+    def __init__(
+        self,
+        data,
+        spark: Optional[SparkSession] = None,
+        options: Optional[TopoOptions] = None,
+        **kwargs,
+    ):
+        self.options = options or TopoOptions(**kwargs)
+        if isinstance(data, DataFrame):
+            self.spark = data.sparkSession
+            if "spans" in data.columns:
+                features_in = features_from_documents(
+                    data, self.options.object_names()[0]
+                )
+            else:
+                features_in = data
+        else:
+            if spark is None:
+                raise ValueError("driver-side input requires a SparkSession")
+            self.spark = spark
+            features_in = features_from_mapping(spark, data, self.options)
+
+        self._run(features_in)
+
+    # ------------------------------------------------------------ pipeline
+
+    def _run(self, features_in: DataFrame) -> None:
+        opts = self.options
+        lines0, points0, features = extract(features_in, opts)
+        self.features = features.cache()
+
+        lines, points, bbox, transform, junctions = join_stage(
+            lines0, points0, opts
+        )
+        self.bbox = bbox
+        self.transform = transform
+        self.points = points.cache()
+        self.junctions = junctions.cache() if junctions is not None else None
+
+        cut_bbox = bbox
+        if transform is not None and bbox is not None:
+            q = opts.quant_factor
+            cut_bbox = (0.0, 0.0, q - 1, q - 1)
+        arcs_cut = cut_stage(
+            lines, self.junctions, opts.shared_coords, bbox=cut_bbox
+        )
+        # truncate lineage at the stage boundary: the cut output is the
+        # natural per-stage checkpoint (north rule: resumable stages); it
+        # also keeps the downstream dedup/hashmap plans shallow
+        arcs_cut = arcs_cut.localCheckpoint(eager=False)
+        self.arcs_cut = arcs_cut
+
+        arcs_final, refs_final = dedup_stage(arcs_cut)
+        self.arcs = arcs_final.localCheckpoint(eager=False)
+        self.refs = refs_final.localCheckpoint(eager=False)
+        self.resolved = hashmap_stage(self.refs, self.arcs, opts).cache()
+
+    # ------------------------------------------------------------ outputs
+
+    def arcs_list(self) -> list:
+        """Final arc coordinate arrays ordered by dense arc index;
+        delta-encoded ints when prequantized (topology.py:597-606)."""
+        rows = self.arcs.select("final_idx", "coords").orderBy("final_idx").collect()
+        out = []
+        for r in rows:
+            c = np.asarray([list(p) for p in r["coords"]], dtype=np.float64)
+            if self.transform is not None:
+                out.append(K.delta_encode(c).tolist())
+            else:
+                out.append(c.tolist())
+        return out
+
+    def junction_points(self) -> list:
+        if self.junctions is None:
+            return []
+        return sorted(
+            (float(r["jx"]), float(r["jy"])) for r in self.junctions.collect()
+        )
+
+    def _collect_resolved(self):
+        res = {}
+        for r in self.resolved.collect():
+            res.setdefault((r["fkey"], r["unit_seq"]), {})[r["ring_seq"]] = [
+                int(v) for v in r["signed_arcs"]
+            ]
+        return res
+
+    def _collect_points(self):
+        pts = {}
+        for r in self.points.collect():
+            pts[(r["fkey"], r["unit_seq"])] = [float(r["x"]), float(r["y"])]
+        return pts
+
+    def _instantiate(self, node, fkey, resolved, points):
+        """Fill a feature template with resolved arcs (hashmap.py:380-439)."""
+        if node is None:
+            return None
+        gtype = node.get("type")
+        if gtype == "GeometryCollection":
+            return {
+                "type": gtype,
+                "geometries": [
+                    self._instantiate(g, fkey, resolved, points)
+                    for g in node.get("geometries", [])
+                ],
+            }
+
+        def unit_rings(u):
+            rings = resolved.get((fkey, u), {})
+            return [rings[k] for k in sorted(rings)]
+
+        if gtype == "LineString":
+            units = node.get("arcs")
+            if units is None:
+                return {"type": gtype, "arcs": None}
+            return {"type": gtype, "arcs": unit_rings(units[0])[0]}
+        if gtype == "MultiLineString":
+            return {
+                "type": gtype,
+                "arcs": [unit_rings(u)[0] for u in node.get("arcs", [])],
+            }
+        if gtype == "Polygon":
+            units = node.get("arcs")
+            if units is None:
+                return {"type": gtype, "arcs": None}
+            return {"type": gtype, "arcs": unit_rings(units[0])}
+        if gtype == "MultiPolygon":
+            return {
+                "type": gtype,
+                "arcs": [unit_rings(u) for u in node.get("arcs", [])],
+            }
+        if gtype == "Point":
+            refs = node.get("coordinates")
+            if not refs:
+                return {"type": gtype, "coordinates": None}
+            return {"type": gtype, "coordinates": points[(fkey, refs[0])]}
+        if gtype == "MultiPoint":
+            return {
+                "type": gtype,
+                "coordinates": [
+                    points[(fkey, u)] for u in node.get("coordinates", [])
+                ],
+            }
+        return node
+
+    def to_dict(self) -> dict:
+        """Assemble the reference-shaped topology dict (driver-side; the
+        output topology is small relative to the input corpus — at full
+        scale use write_tables instead)."""
+        resolved = self._collect_resolved()
+        points = self._collect_points()
+        feats = sorted(
+            self.features.where(~F.col("invalid")).collect(),
+            key=lambda r: r["feature_seq"],
+        )
+        names = self.options.object_names()
+        multi = len(names) > 1
+        # id offsets per object (hashmap.py:105-110)
+        offsets = {}
+        if multi:
+            for r in feats:
+                offsets.setdefault(r["object_name"], r["feature_seq"])
+
+        objects = {}
+        for name in names:
+            geoms = []
+            for r in feats:
+                if r["object_name"] != name:
+                    continue
+                template = json.loads(r["template"]) if r["template"] else None
+                feat = self._instantiate(template, r["fkey"], resolved, points)
+                if feat is None:
+                    continue
+                if multi:
+                    feat["id"] = int(r["feature_seq"]) - int(offsets[name])
+                else:
+                    key = r["fkey"]
+                    feat["id"] = int(key) if key.lstrip("-").isdigit() else key
+                feat["properties"] = dict(r["properties"] or {})
+                geoms.append(feat)
+            objects[name] = {"type": "GeometryCollection", "geometries": geoms}
+
+        out = {
+            "type": "Topology",
+            "objects": objects,
+            "bbox": tuple(self.bbox) if self.bbox else (),
+            "arcs": self.arcs_list(),
+        }
+        if self.transform is not None:
+            out["transform"] = copy.deepcopy(self.transform)
+        return out
+
+    def to_json(self, fp: Optional[str] = None, pretty: bool = False) -> str:
+        topo = self.to_dict()
+        txt = json.dumps(topo, indent=2 if pretty else None,
+                         separators=None if pretty else (",", ":"))
+        if fp:
+            with open(fp, "w") as f:
+                f.write(txt)
+        return txt
+
+    # -------------------------------------------------------- geojson export
+
+    def to_geojson(self, winding_order: str = "CCW_CW", decimals=None) -> dict:
+        """Inverse query: stitch arcs back into feature coordinates —
+        utils.py:500-558 + the coordinate decoder utils.py:105-133."""
+        topo = self.to_dict()
+        return topology_to_geojson(topo, winding_order=winding_order,
+                                   decimals=decimals)
+
+    # -------------------------------------------------------- post-ops
+
+    def toposimplify(self, epsilon: float) -> "Topology":
+        """Simplify arcs after topology construction (topology.py:434-552):
+        dequantize if needed -> DP/VW per arc -> requantize."""
+        algorithm = self.options.simplify_algorithm
+        transform = self.transform
+        scale = transform["scale"] if transform else None
+        translate = transform["translate"] if transform else None
+
+        @F.pandas_udf(COORDS_T)
+        def simp(coords: pd.Series) -> pd.Series:
+            def run(c):
+                arr = np.asarray([list(p) for p in c], dtype=np.float64)
+                if transform is not None:
+                    arr = arr * np.asarray(scale) + np.asarray(translate)
+                return K.simplify_coords(arr, epsilon, algorithm).tolist()
+
+            return coords.map(run)
+
+        new = copy.copy(self)
+        new.arcs = self.arcs.withColumn("coords", simp("coords"))
+        if transform is not None:
+            q = (
+                self.options.topoquant_factor
+                or self.options.quant_factor
+                or 1e5
+            )
+            new.transform = None
+            new = new.topoquantize(q, _already_dequantized=True)
+        return new
+
+    def topoquantize(
+        self, quant_factor: float, _already_dequantized: bool = False
+    ) -> "Topology":
+        """(Re-)quantize arcs after construction (topology.py:375-432)."""
+        new = copy.copy(self)
+        arcs = self.arcs if _already_dequantized or self.transform is None else None
+        if arcs is None:
+            scale = self.transform["scale"]
+            translate = self.transform["translate"]
+
+            @F.pandas_udf(COORDS_T)
+            def deq(coords: pd.Series) -> pd.Series:
+                return coords.map(
+                    lambda c: (
+                        np.asarray([list(p) for p in c], dtype=np.float64)
+                        * np.asarray(scale)
+                        + np.asarray(translate)
+                    ).tolist()
+                )
+
+            arcs = self.arcs.withColumn("coords", deq("coords"))
+
+        # new bbox over dequantized arcs
+        xs = F.expr("transform(coords, c -> c[0])")
+        ys = F.expr("transform(coords, c -> c[1])")
+        row = arcs.agg(
+            F.min(F.array_min(xs)).alias("x0"),
+            F.min(F.array_min(ys)).alias("y0"),
+            F.max(F.array_max(xs)).alias("x1"),
+            F.max(F.array_max(ys)).alias("y1"),
+        ).collect()[0]
+        bbox = (row["x0"], row["y0"], row["x1"], row["y1"])
+        kx, ky = K.quantize_factors(bbox, quant_factor)
+
+        @F.pandas_udf(COORDS_T)
+        def quant(coords: pd.Series) -> pd.Series:
+            return coords.map(
+                lambda c: K.quantize_coords(
+                    np.asarray([list(p) for p in c], dtype=np.float64),
+                    bbox,
+                    quant_factor,
+                )
+                .astype(np.float64)
+                .tolist()
+            )
+
+        new.arcs = arcs.withColumn("coords", quant("coords"))
+        new.bbox = bbox
+        new.transform = {"scale": [kx, ky], "translate": [bbox[0], bbox[1]]}
+        return new
+
+    # -------------------------------------------------------- persistence
+
+    def write_tables(self, path: str) -> None:
+        """Checkpoint the five output tables (resume path, north rule)."""
+        self.arcs.write.mode("overwrite").parquet(f"{path}/arcs")
+        self.refs.write.mode("overwrite").parquet(f"{path}/refs")
+        self.resolved.write.mode("overwrite").parquet(f"{path}/resolved")
+        self.features.write.mode("overwrite").parquet(f"{path}/features")
+        self.points.write.mode("overwrite").parquet(f"{path}/points")
+        meta = {
+            "bbox": self.bbox,
+            "transform": self.transform,
+            "object_name": self.options.object_names(),
+        }
+        self.spark.createDataFrame(
+            [(json.dumps(meta),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_tables(spark: SparkSession, path: str, **kwargs) -> Topology:
+    """Resume a topology from checkpointed tables without recomputation —
+    the analog of re-ingesting a TopoJSON dict (topology.py:127-132)."""
+    topo = Topology.__new__(Topology)
+    topo.spark = spark
+    topo.options = TopoOptions(**kwargs)
+    topo.arcs = spark.read.parquet(f"{path}/arcs")
+    topo.refs = spark.read.parquet(f"{path}/refs")
+    topo.resolved = spark.read.parquet(f"{path}/resolved")
+    topo.features = spark.read.parquet(f"{path}/features")
+    topo.points = spark.read.parquet(f"{path}/points")
+    meta = json.loads(spark.read.parquet(f"{path}/meta").collect()[0]["meta"])
+    topo.bbox = tuple(meta["bbox"]) if meta["bbox"] else None
+    topo.transform = meta["transform"]
+    topo.junctions = None
+    return topo
+
+
+# ---------------------------------------------------------------- geojson
+
+
+def _decode_arc(tp_arcs: list, arc: int, transform) -> np.ndarray:
+    coords = np.asarray(tp_arcs[arc if arc >= 0 else ~arc], dtype=np.float64)
+    if transform is not None:
+        coords = K.delta_decode(
+            coords, transform["scale"], transform["translate"]
+        )
+    return coords[:: 1 if arc >= 0 else -1]
+
+
+def _stitch(arcs, tp_arcs, gtype, transform):
+    """utils.py:105-133 ``coordinates``: concatenate signed arcs, dropping
+    each join vertex (the ``i > 0`` slice), with ring-closure repair."""
+    if len(arcs) and isinstance(arcs[0], int):
+        parts = []
+        for i, arc in enumerate(arcs):
+            c = _decode_arc(tp_arcs, arc, transform)
+            parts.append(c[i > 0 :])
+        coords = np.concatenate(parts).tolist()
+        if gtype in ("Polygon", "MultiPolygon"):
+            if len(coords) < 3:
+                coords.extend([coords[0]])
+        elif gtype in ("LineString", "MultiLineString"):
+            if len(coords) < 2:
+                coords.extend([coords[0]])
+        return coords
+    return [_stitch(a, tp_arcs, gtype, transform) for a in arcs]
+
+
+def _geom_from_topo(obj, tp_arcs, transform):
+    gtype = obj["type"]
+    if gtype == "GeometryCollection":
+        return {
+            "type": gtype,
+            "geometries": [
+                _geom_from_topo(g, tp_arcs, transform)
+                for g in obj["geometries"]
+            ],
+        }
+    if gtype in ("Point", "MultiPoint"):
+        coords = obj.get("coordinates")
+        if coords is not None and transform is not None:
+            sc, tr = transform["scale"], transform["translate"]
+            arr = np.asarray(coords, dtype=np.float64)
+            arr = arr * np.asarray(sc) + np.asarray(tr)
+            coords = arr.tolist()
+        return {"type": gtype, "coordinates": coords}
+    arcs = obj.get("arcs")
+    if arcs is None:
+        return {"type": gtype, "coordinates": None}
+    return {
+        "type": gtype,
+        "coordinates": _stitch(arcs, tp_arcs, gtype, transform),
+    }
+
+
+def _enforce_winding(geom: dict, order: str) -> dict:
+    want_ccw_ext = order == "CCW_CW"
+
+    def fix_poly(rings):
+        out = []
+        for i, ring in enumerate(rings):
+            arr = np.asarray(ring, dtype=np.float64)
+            ccw = want_ccw_ext if i == 0 else not want_ccw_ext
+            out.append(K.orient_ring(arr, ccw).tolist())
+        return out
+
+    gtype = geom["type"]
+    if gtype == "Polygon" and geom.get("coordinates"):
+        geom["coordinates"] = fix_poly(geom["coordinates"])
+    elif gtype == "MultiPolygon" and geom.get("coordinates"):
+        geom["coordinates"] = [fix_poly(p) for p in geom["coordinates"]]
+    elif gtype == "GeometryCollection":
+        geom["geometries"] = [
+            _enforce_winding(g, order) for g in geom["geometries"]
+        ]
+    return geom
+
+
+def topology_to_geojson(
+    topo: dict, objectname: str = None, winding_order: str = "CCW_CW",
+    decimals=None,
+) -> dict:
+    """Port of serialize_as_geojson (utils.py:500-558)."""
+    transform = topo.get("transform")
+    tp_arcs = topo["arcs"]
+    names = list(topo["objects"].keys())
+    objectname = objectname or names[0]
+    if objectname not in topo["objects"]:
+        raise LookupError(
+            f"'{objectname}' is not an object name in your topojson file"
+        )
+    features = topo["objects"][objectname]["geometries"]
+    fc = {"type": "FeatureCollection", "features": []}
+    for index, feature in enumerate(features):
+        geom = _geom_from_topo(feature, tp_arcs, transform)
+        if decimals is not None and geom.get("coordinates") is not None:
+            geom["coordinates"] = np.around(
+                np.asarray(geom["coordinates"], dtype=np.float64), decimals
+            ).tolist()
+        geom = _enforce_winding(geom, winding_order)
+        fc["features"].append(
+            {
+                "id": feature.get("id", index),
+                "type": "Feature",
+                "properties": feature.get("properties", {}),
+                "geometry": geom,
+            }
+        )
+    return fc
