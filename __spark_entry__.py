@@ -242,7 +242,7 @@ def q_lsh_pairs(spark, sf_dir):
 
 def q_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    return ngram_jaccard_pairs(docs, threshold=0.2).select(
+    return ngram_jaccard_pairs(docs, threshold=0.01).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
     )
 
@@ -493,7 +493,7 @@ def oracle_sql() -> dict[str, str]:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE i / (sa.sz + sb.sz - i) >= 0.2""",
+    WHERE i / (sa.sz + sb.sz - i) >= 0.01""",
         "cosine_topk": f"""
             WITH q AS (SELECT {qvec_sql}::DOUBLE[] AS qv),
             scored AS (

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "topology_docs_per_sec": N}
+
+The headline topology job is the full extract->join->cut->dedup->hashmap
+pipeline over the deterministic interleaved corpus (BASELINE.json metric is
+docs/sec on that pipeline). `--docs N` scales the corpus; `--json-only`
+suppresses progress chatter. Scaling-efficiency protocol (local[8] vs
+local[32]) lives in tools/bench_scaling.py and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+GRID = int(os.environ.get("SPARK_GRAFT_BENCH_GRID", "48"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from topojson_spark.session import get_spark
+    from topojson_spark.sources.corpus import generate_documents
+    from topojson_spark.topology import Topology
+
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+
+    spark = get_spark(
+        "topojson_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: topology pipeline over the interleaved corpus ----
+    t0 = time.time()
+    docs = generate_documents(spark, N_DOCS, grid_w=GRID, grid_h=GRID)
+    topo = Topology(docs, prequantize=False)
+    n_arcs = topo.arcs.count()
+    topo_sec = time.time() - t0
+    timings["topology_pipeline"] = round(topo_sec, 3)
+    docs_per_sec = N_DOCS / topo_sec if topo_sec > 0 else 0.0
+
+    # ---- operator suite at the sf dir ----
+    suite = [
+        "dedup_keepmin",
+        "junction_groupby",
+        "token_count",
+        "quality_score",
+        "simhash",
+        "minhash_lsh_pairs",
+        "cosine_topk",
+        "pip_lattice",
+        "knn_grid",
+        "raster_tiles",
+        "join_region",
+    ]
+    qs = E.queries()
+    for name in suite:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "topology-construction + spatial/text operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "topology_docs_per_sec": round(docs_per_sec, 1),
+        "topology_n_docs": N_DOCS,
+        "topology_n_arcs": int(n_arcs),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Corpus generator + span invariants + checkpoint/resume tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from topojson_spark.sources.corpus import generate_documents, span_manifest
+
+
+def test_corpus_deterministic(spark):
+    a = generate_documents(spark, 50, 4, 4).collect()
+    b = generate_documents(spark, 50, 4, 4).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    da = {r["doc_id"]: r["spans"] for r in a}
+    db = {r["doc_id"]: r["spans"] for r in b}
+    assert da == db
+
+
+def test_corpus_partitioning_invariant(spark):
+    """Same corpus regardless of parallelism (content-derived generation)."""
+    a = {r["doc_id"]: r["spans"] for r in generate_documents(spark, 40, 4, 4, partitions=2).collect()}
+    b = {r["doc_id"]: r["spans"] for r in generate_documents(spark, 40, 4, 4, partitions=7).collect()}
+    assert a == b
+
+
+def test_span_sequence_invariant(spark):
+    """BASELINE input_hint: offsets strictly increasing, kinds valid, and the
+    manifest preserves (kind, text, media_ref, order) per doc."""
+    docs = generate_documents(spark, 60, 4, 4)
+    m = span_manifest(spark, docs).collect()
+    by_doc = {}
+    for r in m:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["span_ix"])
+        offs = [r["offset"] for r in rows]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        assert all(r["kind"] in ("text", "geometry", "media") for r in rows)
+        for r in rows:
+            if r["kind"] == "media":
+                assert r["media_ref"].startswith("s3://")
+            if r["kind"] == "geometry":
+                assert '"type"' in r["text"]
+
+
+def test_mosaic_topology_closed_form(spark):
+    """FIXTURES §3: W x H lattice -> every interior edge shared by exactly 2
+    polygons. Arcs of the planar grid graph are computable in closed form
+    when every junction is a lattice corner."""
+    from topojson_spark.topology import Topology
+
+    w = h = 3
+    docs = generate_documents(spark, w * h, w, h)  # mosaic only, no lines
+    t = Topology(docs, prequantize=False)
+    # interior edges are shared (deduped): horizontal interior = w*(h-1),
+    # vertical interior = (w-1)*h
+    n_shared = t.arcs.where("is_shared").count()
+    assert n_shared == w * (h - 1) + (w - 1) * h  # 12 for 3x3
+    # geojson round-trip restores every square
+    fc = t.to_geojson()
+    assert len(fc["features"]) == w * h
+    from topojson_spark.functions import kernels as K
+
+    for feat in fc["features"]:
+        ring = np.asarray(feat["geometry"]["coordinates"][0])
+        assert len(ring) == 5
+        assert abs(K.signed_area(ring)) == pytest.approx(1.0)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from topojson_spark.topology import Topology, read_tables
+
+    docs = generate_documents(spark, 9, 3, 3)
+    t = Topology(docs, prequantize=False)
+    d1 = t.to_dict()
+    path = str(tmp_path / "topo_ckpt")
+    t.write_tables(path)
+
+    t2 = read_tables(spark, path)
+    d2 = t2.to_dict()
+    assert d1["arcs"] == d2["arcs"]
+    assert d1["bbox"] == d2["bbox"]
+    assert d1["objects"].keys() == d2["objects"].keys()
+    g1 = d1["objects"]["data"]["geometries"]
+    g2 = d2["objects"]["data"]["geometries"]
+    assert g1 == g2

@@ -1,0 +1,69 @@
+"""Similarity-search tests: brute-force cosine, LSH buckets, IVF assign."""
+
+import numpy as np
+import pytest
+
+from topojson_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 16)).astype(float)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    q = vecs[0]
+    got = S.cosine_topk(df, q.tolist(), 5).collect()
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = np.argsort([(-s, i) for i, s in enumerate(sims)], axis=0)
+    order = sorted(range(100), key=lambda i: (-sims[i], i))[:5]
+    assert [r["vec_id"] for r in got] == order
+    assert got[0]["vec_id"] == 0
+    assert got[0]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recovers_self(emb):
+    df, vecs = emb
+    bucketed = S.lsh_bucket_table(df, dim=16, n_planes=6)
+    got = S.lsh_topk(bucketed, vecs[7].tolist(), 3, n_planes=6)
+    rows = got.collect()
+    assert rows and rows[0]["vec_id"] == 7
+
+
+def test_ivf_assign(emb):
+    df, vecs = emb
+    cents = [vecs[0].tolist(), vecs[50].tolist()]
+    out = {r["vec_id"]: r["centroid_id"] for r in S.ivf_assign(df, cents).collect()}
+    assert out[0] == 0 and out[50] == 1
+    d0 = ((vecs - vecs[0]) ** 2).sum(1)
+    d1 = ((vecs - vecs[50]) ** 2).sum(1)
+    want = (d1 < d0).astype(int)
+    got = np.array([out[i] for i in range(100)])
+    assert (got == want).mean() > 0.99
+
+
+def test_media_plumbing(spark):
+    from topojson_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 8, kind="image")
+    feats = extract_features(media).collect()
+    assert len(feats) == 8
+    assert all(len(r["feat"]) == 64 for r in feats)
+    # deterministic: same media id -> same features across runs
+    feats2 = extract_features(synth_media(spark, 8, kind="image")).collect()
+    assert {r["media_id"]: r["feat"] for r in feats} == {
+        r["media_id"]: r["feat"] for r in feats2
+    }
+
+    video = synth_media(spark, 3, kind="video")
+    plan = frame_sample_plan(video, every_n=10).collect()
+    assert {r["frame_ix"] for r in plan} == {0, 10, 20}

@@ -340,12 +340,19 @@ def line_pair_shared_segments(a: np.ndarray, b: np.ndarray) -> np.ndarray:
             continue
         t0 = np.dot(q[j] - p[i], r[i]) / rr[i]
         t1 = np.dot(q[j] + s[j] - p[i], r[i]) / rr[i]
-        lo, hi = (t0, t1) if t0 <= t1 else (t1, t0)
-        lo, hi = max(lo, 0.0), min(hi, 1.0)
+        # overlap boundaries are always *vertices* of one of the two lines;
+        # use the original coordinates instead of p + t*r interpolation so
+        # no float noise leaks into junctions/arc bytes (GEOS does the same)
+        if t0 <= t1:
+            blo, bhi = q[j], q[j] + s[j]
+        else:
+            t0, t1 = t1, t0
+            blo, bhi = q[j] + s[j], q[j]
+        lo, hi = max(t0, 0.0), min(t1, 1.0)
         if hi - lo <= 0:
             continue  # touch at a point (or disjoint) -> no line piece
-        seg0 = p[i] + lo * r[i]
-        seg1 = p[i] + hi * r[i]
+        seg0 = p[i] if t0 <= 0 else blo
+        seg1 = p[i] + r[i] if t1 >= 1 else bhi
         out.append([seg0[0], seg0[1], seg1[0], seg1[1]])
     if not out:
         return np.empty((0, 4))

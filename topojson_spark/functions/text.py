@@ -109,8 +109,12 @@ _LANG_MARKERS = {
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-hit language guess (deterministic, SQL-expressible)."""
     toks = tokens_col(F.col("text"))
+
+    def _hits(ws):
+        return lambda t: t.isin(*ws)
+
     scores = [
-        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(lang)
+        F.size(F.filter(toks, _hits(ws))).alias(lang)
         for lang, ws in _LANG_MARKERS.items()
     ]
     scored = documents.select("doc_id", *scores)

@@ -414,7 +414,7 @@ def features_from_documents(
     docnum = F.regexp_extract("doc_id", r"(\d+)$", 1)
     feature_seq = (
         F.when(docnum != "", docnum.cast("long"))
-        .otherwise(F.xxhash64("doc_id") & F.lit(0x7FFFFFFF))
+        .otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(0x7FFFFFFF)))
         * F.lit(1 << 20)
         + F.col("span_ix")
     )

@@ -243,15 +243,16 @@ def junctions_path_connected(lines_with_lid: DataFrame, bbox: Tuple) -> DataFram
         )
 
     lines_d = lines_with_lid.withColumn("pdig", path_digest("coords"))
-    pairs = candidate_pairs(lines_d, bbox)
-    digs = lines_d.select("lid", "pdig")
-    pairs = (
-        pairs.join(digs.withColumnRenamed("lid", "lid_a").withColumnRenamed(
-            "pdig", "pdig_a"), on="lid_a")
-        .join(digs.withColumnRenamed("lid", "lid_b").withColumnRenamed(
-            "pdig", "pdig_b"), on="lid_b")
-        .where(F.col("pdig_a") != F.col("pdig_b"))
-        .select("coords_a", "coords_b")
+    # semantics-preserving pre-dedup (join.py:207-210 skips equal pairs, and
+    # path-equal copies produce identical intersections with every other
+    # line) — one representative per path digest, so exact-duplicate-heavy
+    # corpora don't blow up the candidate self-join quadratically
+    reps = lines_d.groupBy("pdig").agg(
+        F.min("lid").alias("lid"), F.first("coords").alias("coords")
+    )
+    # distinct representatives guarantee pdig_a != pdig_b for every pair
+    pairs = candidate_pairs(reps.select("lid", "coords"), bbox).select(
+        "coords_a", "coords_b"
     )
 
     out_schema = T.StructType(

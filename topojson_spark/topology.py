@@ -76,6 +76,11 @@ class Topology:
     def _run(self, features_in: DataFrame) -> None:
         opts = self.options
         lines0, points0, features = extract(features_in, opts)
+        # materialize the parse once: every downstream action (bbox agg,
+        # junction groupBy, cut, dedup) would otherwise re-run the span
+        # parsing mapInPandas from scratch
+        lines0 = lines0.localCheckpoint(eager=False)
+        points0 = points0.localCheckpoint(eager=False)
         self.features = features.cache()
 
         lines, points, bbox, transform, junctions = join_stage(
