@@ -6,16 +6,18 @@ Re-expresses /root/reference/topojson/core/dedup.py:55-303 relationally:
   per arc (column-sorted coords, ring closing-vertex rule) digested with
   sha1 — a deterministic replacement for the process-salted Python ``hash``
   (ops.py:971) — then a groupBy on the digest keeping the *max* extract
-  index per group (dedup.py:171-176 sorts pairs descending: vals2keep is the
-  higher index). This is the north rule's salted hash-shuffle: the digest is
-  uniformly distributed so the shuffle self-salts; AQE skew-join handles any
-  residual hot digest.
-- the reference's delete-and-renumber (np.digitize, dedup.py:180-206) is
-  replaced by stable ids + a final dense rank over survivors — provably the
-  same order since pops only delete.
+  position per group (dedup.py:171-176 sorts pairs descending: vals2keep is
+  the higher index). This is the north rule's salted hash-shuffle: the
+  digest is uniformly distributed so the shuffle self-salts; AQE skew-join
+  handles any residual hot digest.
+- extract position is the CONTENT tuple (feature_seq, unit_seq, ring_seq,
+  split_seq) compared lexicographically (Spark struct ordering), so keep-max
+  needs NO global sort; the reference's delete-and-renumber (np.digitize,
+  dedup.py:180-206) becomes one dense rank over the (small) survivor set —
+  provably the same order since pops only delete.
 - contiguous-arc merge (dedup.py:208-303): per original linestring row whose
   arc list has non-shared first and last arcs, the non-shared arcs are
-  linemerged; if pieces fused, the piece's max-index arc keeps the merged
+  linemerged; if pieces fused, the piece's max-position arc keeps the merged
   coordinates and the rest are popped (only the first fused piece per row,
   matching _find_merged_linestring's early return).
 
@@ -29,7 +31,7 @@ Re-expresses /root/reference/topojson/core/dedup.py:55-303 relationally:
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pandas as pd
@@ -41,6 +43,12 @@ from ..functions import kernels as K
 from ..plans.ids import dense_index
 
 _ROW_KEY = ["feature_seq", "unit_seq", "ring_seq"]
+_POS = ["feature_seq", "unit_seq", "ring_seq", "split_seq"]
+
+
+def _okey(prefix: str = "") -> F.Column:
+    """Lexicographic extract-position struct (content-derived arc id)."""
+    return F.struct(*[F.col(prefix + c).alias(c) for c in _POS])
 
 
 def merge_lines_with_members(
@@ -100,15 +108,10 @@ def merge_lines_with_members(
 def dedup_stage(arcs: DataFrame):
     """Input: cut output. Returns (arcs_final, refs_final):
 
-    arcs_final(oidx, final_idx, is_shared, coords)
+    arcs_final(final_idx, is_shared, coords)
     refs_final(feature_seq, fkey, object_name, unit_seq, ring_seq, gtype,
-               is_ring, split_seq, arc_oidx, final_idx, is_shared)
+               is_ring, split_seq, final_idx, is_shared)
     """
-    spark = arcs.sparkSession
-
-    arcs = dense_index(
-        arcs, ["feature_seq", "unit_seq", "ring_seq", "split_seq"], "oidx"
-    )
 
     @F.pandas_udf(T.BinaryType())
     def dup_digest(coords: pd.Series) -> pd.Series:
@@ -118,11 +121,14 @@ def dedup_stage(arcs: DataFrame):
             ).digest()
         )
 
-    arcs = arcs.withColumn("dig", dup_digest("coords")).cache()
+    arcs = arcs.withColumn("dig", dup_digest("coords")).localCheckpoint(
+        eager=False
+    )
 
-    # keep the max extract index within each duplicate group
-    keeps = arcs.groupBy("dig").agg(F.max("oidx").alias("kept_oidx"))
-    mapped = arcs.join(keeps, on="dig").drop("dig")
+    # keep the max extract position within each duplicate group (struct
+    # lexicographic max == the reference's positional keep-max); no sort
+    keeps = arcs.groupBy("dig").agg(F.max(_okey()).alias("kept"))
+    mapped = arcs.join(keeps, on="dig").drop("dig").localCheckpoint(eager=False)
 
     refs0 = mapped.select(
         "feature_seq",
@@ -133,24 +139,21 @@ def dedup_stage(arcs: DataFrame):
         "gtype",
         "is_ring",
         "split_seq",
-        F.col("kept_oidx").alias("arc_oidx"),
+        "kept",
     )
-    kept_arcs = mapped.where(F.col("oidx") == F.col("kept_oidx")).select(
-        "oidx", "coords"
-    )
+    kept_arcs = mapped.where(_okey() == F.col("kept")).select("kept", "coords")
 
     # shared arcs: referenced more than once after dedup (dedup.py:203-205)
     shared0 = (
-        refs0.groupBy("arc_oidx")
+        refs0.groupBy("kept")
         .agg(F.count(F.lit(1)).alias("n_refs"))
         .withColumn("is_shared", F.col("n_refs") > 1)
-        .select("arc_oidx", "is_shared")
+        .select("kept", "is_shared")
     )
 
     # ---- contiguous merge eligibility (incl. the padded-array quirk) ----
     row_stats = refs0.groupBy(*_ROW_KEY).agg(
-        F.count(F.lit(1)).alias("row_len"),
-        F.max("split_seq").alias("max_split"),
+        F.count(F.lit(1)).alias("row_len")
     )
     max_len_row = row_stats.agg(F.max("row_len").alias("m")).collect()[0]
     max_len = int(max_len_row["m"]) if max_len_row["m"] is not None else 0
@@ -158,13 +161,15 @@ def dedup_stage(arcs: DataFrame):
     popped_merge = None
     merged_coords = None
     if max_len > 1:
-        refs_flag = refs0.join(shared0, on="arc_oidx")
-        ends = refs_flag.where(
-            (F.col("split_seq") == 0)
-            | (F.col("split_seq") == max_len - 1)
-        )
+        refs_flag = refs0.join(shared0, on="kept")
         bad_rows = (
-            ends.where(F.col("is_shared"))
+            refs_flag.where(
+                (
+                    (F.col("split_seq") == 0)
+                    | (F.col("split_seq") == max_len - 1)
+                )
+                & F.col("is_shared")
+            )
             .select(*_ROW_KEY)
             .distinct()
         )
@@ -176,18 +181,25 @@ def dedup_stage(arcs: DataFrame):
         merge_in = (
             refs_flag.join(eligible, on=_ROW_KEY)
             .where(~F.col("is_shared"))
-            .join(
-                kept_arcs.withColumnRenamed("oidx", "arc_oidx"),
-                on="arc_oidx",
-            )
-            .select(*_ROW_KEY, "split_seq", "arc_oidx", "coords")
+            .join(kept_arcs, on="kept")
+            .select(*_ROW_KEY, "split_seq", "kept", "coords")
         )
 
+        kept_t = T.StructType(
+            [
+                T.StructField("feature_seq", T.LongType()),
+                T.StructField("unit_seq", T.IntegerType()),
+                T.StructField("ring_seq", T.IntegerType()),
+                T.StructField("split_seq", T.IntegerType()),
+            ]
+        )
         out_schema = T.StructType(
             [
-                T.StructField("arc_oidx", T.LongType()),
+                T.StructField("kept", kept_t),
                 T.StructField("action", T.StringType()),
-                T.StructField("new_coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+                T.StructField(
+                    "new_coords", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
             ]
         )
 
@@ -197,71 +209,84 @@ def dedup_stage(arcs: DataFrame):
                 np.asarray([list(p) for p in c], dtype=np.float64)
                 for c in pdf["coords"]
             ]
-            oidx = pdf["arc_oidx"].to_numpy()
+            keys = list(pdf["kept"])
             chains = merge_lines_with_members(pieces)
             if len(chains) == len(pieces):
-                return pd.DataFrame(columns=["arc_oidx", "action", "new_coords"])
-            # first fused chain in input order (_find_merged_linestring)
+                return pd.DataFrame(columns=["kept", "action", "new_coords"])
             fused = [
                 (min(members), chain, members)
                 for chain, members in chains
                 if len(members) >= 2
             ]
             if not fused:
-                return pd.DataFrame(columns=["arc_oidx", "action", "new_coords"])
+                return pd.DataFrame(columns=["kept", "action", "new_coords"])
             fused.sort(key=lambda t: t[0])
             _, chain, members = fused[0]
-            ids = oidx[members]
-            keep = int(ids.max())
+
+            def key_tuple(k):
+                return (
+                    k["feature_seq"],
+                    k["unit_seq"],
+                    k["ring_seq"],
+                    k["split_seq"],
+                )
+
+            member_keys = [keys[m] for m in members]
+            keep = max(member_keys, key=key_tuple)
             rows = [(keep, "keep", chain.tolist())]
-            rows += [(int(i), "pop", None) for i in ids if int(i) != keep]
-            return pd.DataFrame(rows, columns=["arc_oidx", "action", "new_coords"])
+            rows += [
+                (k, "pop", None)
+                for k in member_keys
+                if key_tuple(k) != key_tuple(keep)
+            ]
+            return pd.DataFrame(rows, columns=["kept", "action", "new_coords"])
 
         merged = (
             merge_in.groupBy(*_ROW_KEY).applyInPandas(merge_row, schema=out_schema)
-        ).cache()
-        popped_merge = merged.where(F.col("action") == "pop").select(
-            F.col("arc_oidx").alias("oidx")
-        )
+        ).localCheckpoint(eager=False)
+        popped_merge = merged.where(F.col("action") == "pop").select("kept")
         merged_coords = merged.where(F.col("action") == "keep").select(
-            F.col("arc_oidx").alias("oidx"),
-            F.col("new_coords"),
+            "kept", "new_coords"
         )
 
     # ---- apply merge results ----
     if popped_merge is not None:
-        kept_arcs = kept_arcs.join(popped_merge, on="oidx", how="left_anti")
+        kept_arcs = kept_arcs.join(popped_merge, on="kept", how="left_anti")
         kept_arcs = (
-            kept_arcs.join(merged_coords, on="oidx", how="left")
+            kept_arcs.join(merged_coords, on="kept", how="left")
             .withColumn(
                 "coords", F.coalesce(F.col("new_coords"), F.col("coords"))
             )
             .drop("new_coords")
         )
-        refs_final = refs0.join(
-            popped_merge.withColumnRenamed("oidx", "arc_oidx"),
-            on="arc_oidx",
-            how="left_anti",
-        )
+        refs_final = refs0.join(popped_merge, on="kept", how="left_anti")
     else:
         refs_final = refs0
 
     shared_final = (
-        refs_final.groupBy("arc_oidx")
+        refs_final.groupBy("kept")
         .agg(F.count(F.lit(1)).alias("n_refs"))
         .withColumn("is_shared", F.col("n_refs") > 1)
-        .select("arc_oidx", "is_shared")
+        .select("kept", "is_shared")
     )
 
-    arcs_final = dense_index(kept_arcs, ["oidx"], "final_idx")
-    arcs_final = arcs_final.join(
-        shared_final.withColumnRenamed("arc_oidx", "oidx"), on="oidx", how="left"
-    ).fillna({"is_shared": False})
+    # dense ids: only the (small) survivor set is sorted
+    kept_flat = kept_arcs.select(
+        F.col("kept.feature_seq").alias("_f"),
+        F.col("kept.unit_seq").alias("_u"),
+        F.col("kept.ring_seq").alias("_r"),
+        F.col("kept.split_seq").alias("_s"),
+        "kept",
+        "coords",
+    )
+    arcs_final = dense_index(kept_flat, ["_f", "_u", "_r", "_s"], "final_idx")
+    arcs_final = (
+        arcs_final.join(shared_final, on="kept", how="left")
+        .fillna({"is_shared": False})
+        .select("kept", "final_idx", "is_shared", "coords")
+    )
 
     refs_final = refs_final.join(
-        arcs_final.select(
-            F.col("oidx").alias("arc_oidx"), "final_idx", "is_shared"
-        ),
-        on="arc_oidx",
-    )
-    return arcs_final, refs_final
+        arcs_final.select("kept", "final_idx", "is_shared"), on="kept"
+    ).drop("kept")
+    return arcs_final.drop("kept"), refs_final

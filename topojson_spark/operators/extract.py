@@ -105,25 +105,24 @@ def _orient_rings(rings: list, winding_order: Optional[str]) -> list:
 def _ring_self_intersects(ring: np.ndarray) -> bool:
     """Proper self-intersection test for one ring (light ``is_valid``
     replacement; the reference drops invalid geometries via shapely,
-    extract.py:739-742)."""
+    extract.py:739-742). Vectorized n^2 segment-pair test."""
     n = len(ring) - 1
     if n < 3:
         return True
     p = ring[:-1]
     r = ring[1:] - ring[:-1]
-    for i in range(n):
-        for j in range(i + 2, n):
-            if i == 0 and j == n - 1:
-                continue  # adjacent via closure
-            d = r[i][0] * r[j][1] - r[i][1] * r[j][0]
-            if d == 0:
-                continue
-            qp = p[j] - p[i]
-            t = (qp[0] * r[j][1] - qp[1] * r[j][0]) / d
-            u = (qp[0] * r[i][1] - qp[1] * r[i][0]) / d
-            if 0 < t < 1 and 0 < u < 1:
-                return True
-    return False
+    # pair matrices (n, n); only j >= i + 2 and not the closure-adjacency
+    d = r[:, None, 0] * r[None, :, 1] - r[:, None, 1] * r[None, :, 0]
+    qp = p[None, :, :] - p[:, None, :]
+    tn = qp[:, :, 0] * r[None, :, 1] - qp[:, :, 1] * r[None, :, 0]
+    un = qp[:, :, 0] * r[:, None, 1] - qp[:, :, 1] * r[:, None, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = tn / d
+        u = un / d
+    cross = (d != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    ii, jj = np.triu_indices(n, k=2)
+    keep = ~((ii == 0) & (jj == n - 1))
+    return bool(cross[ii[keep], jj[keep]].any())
 
 
 class _FeatureParser:
@@ -277,41 +276,63 @@ def _parse_batch(
 # ------------------------------------------------------------ stage API
 
 
+UNIFIED_SCHEMA = T.StructType(
+    [T.StructField("rec", T.StringType())]  # 'line' | 'point' | 'feature'
+    + LINES_SCHEMA.fields
+    + [
+        T.StructField("pt_seq", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("template", T.StringType()),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("invalid", T.BooleanType()),
+    ]
+)
+
+
 def extract(
     features_in: DataFrame, options: TopoOptions
 ) -> tuple:
     """Run the extract stage. Returns (lines, points, features) DataFrames.
 
-    One mapInPandas pass per output frame over the same narrow input; the
-    parse itself is cheap relative to the downstream shuffles and stays
-    entirely within Arrow batches (no Spark-row Python UDFs).
+    ONE mapInPandas parse emits a unified record stream which is
+    lineage-truncated and split by record kind — each document's JSON is
+    parsed exactly once regardless of how many downstream actions run.
     """
     winding = options.winding_order
+    ucols = [f.name for f in UNIFIED_SCHEMA.fields]
 
-    def emit_lines(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows, _, _ = _parse_batch(pdf, winding)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in LINES_SCHEMA.fields]
-            )
+            lrows, prows, frows = _parse_batch(pdf, winding)
+            rows = []
+            for r in lrows:
+                rows.append(("line", *r, None, None, None, None, None, None))
+            for fs, fk, on, u, ps, x, y in prows:
+                rows.append(
+                    ("point", fs, fk, on, u, None, None, None, None,
+                     ps, x, y, None, None, None)
+                )
+            for fs, fk, on, tmpl, props, inv in frows:
+                rows.append(
+                    ("feature", fs, fk, on, None, None, None, None, None,
+                     None, None, None, tmpl, props, inv)
+                )
+            yield pd.DataFrame(rows, columns=ucols)
 
-    def emit_points(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            _, rows, _ = _parse_batch(pdf, winding)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in POINTS_SCHEMA.fields]
-            )
+    unified = features_in.mapInPandas(emit, schema=UNIFIED_SCHEMA)
+    if not unified.isStreaming:
+        unified = unified.localCheckpoint(eager=False)
 
-    def emit_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            _, _, rows = _parse_batch(pdf, winding)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
-            )
-
-    lines = features_in.mapInPandas(emit_lines, schema=LINES_SCHEMA)
-    points = features_in.mapInPandas(emit_points, schema=POINTS_SCHEMA)
-    features = features_in.mapInPandas(emit_features, schema=FEATURES_SCHEMA)
+    lines = unified.where(F.col("rec") == "line").select(
+        *[f.name for f in LINES_SCHEMA.fields]
+    )
+    points = unified.where(F.col("rec") == "point").select(
+        *[f.name for f in POINTS_SCHEMA.fields]
+    )
+    features = unified.where(F.col("rec") == "feature").select(
+        *[f.name for f in FEATURES_SCHEMA.fields]
+    )
     return lines, points, features
 
 

@@ -197,33 +197,70 @@ def candidate_pairs(
     if cell is None:
         span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
         cell = span / 64 if span > 0 else 1.0
-    cells = _with_bbox_cells(lines.select("lid", "coords"), bbox, cell)
+    # pair enumeration and dedup run over *ids + envelopes only*; the heavy
+    # coordinate arrays are joined in once per surviving pair (shuffle bytes
+    # stay proportional to the pair list, not to pair-multiplicity x coords)
+    xs = F.expr("transform(coords, c -> c[0])")
+    ys = F.expr("transform(coords, c -> c[1])")
+    env = lines.select(
+        "lid",
+        F.array_min(xs).alias("x0"),
+        F.array_min(ys).alias("y0"),
+        F.array_max(xs).alias("x1"),
+        F.array_max(ys).alias("y1"),
+    )
+    cells = (
+        env.withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("x0") - F.lit(bbox[0])) / F.lit(cell)),
+                    F.floor((F.col("x1") - F.lit(bbox[0])) / F.lit(cell)),
+                )
+            ),
+        )
+        .withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("y0") - F.lit(bbox[1])) / F.lit(cell)),
+                    F.floor((F.col("y1") - F.lit(bbox[1])) / F.lit(cell)),
+                )
+            ),
+        )
+        .select("lid", "cx", "cy", "x0", "y0", "x1", "y1")
+    )
     a = cells.select(
-        F.col("lid").alias("lid_a"), F.col("coords").alias("coords_a"), "cx", "cy"
+        F.col("lid").alias("lid_a"),
+        "cx", "cy",
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
     )
     b = cells.select(
-        F.col("lid").alias("lid_b"), F.col("coords").alias("coords_b"), "cx", "cy"
+        F.col("lid").alias("lid_b"),
+        "cx", "cy",
+        F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
     )
-    pairs = (
+    pair_ids = (
         a.join(b, on=["cx", "cy"])
         .where(F.col("lid_a") < F.col("lid_b"))
-        .select("lid_a", "coords_a", "lid_b", "coords_b")
+        .where(
+            (F.col("ax0") <= F.col("bx1"))
+            & (F.col("bx0") <= F.col("ax1"))
+            & (F.col("ay0") <= F.col("by1"))
+            & (F.col("by0") <= F.col("ay1"))
+        )
+        .select("lid_a", "lid_b")
         .dropDuplicates(["lid_a", "lid_b"])
     )
-    # exact envelope-overlap filter (cells are a superset of the rtree hits)
-    def env(c):
-        return (
-            F.array_min(F.expr(f"transform({c}, c -> c[0])")),
-            F.array_min(F.expr(f"transform({c}, c -> c[1])")),
-            F.array_max(F.expr(f"transform({c}, c -> c[0])")),
-            F.array_max(F.expr(f"transform({c}, c -> c[1])")),
-        )
-
-    ax0, ay0, ax1, ay1 = env("coords_a")
-    bx0, by0, bx1, by1 = env("coords_b")
-    return pairs.where(
-        (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    coords_a = lines.select(
+        F.col("lid").alias("lid_a"), F.col("coords").alias("coords_a")
     )
+    coords_b = lines.select(
+        F.col("lid").alias("lid_b"), F.col("coords").alias("coords_b")
+    )
+    return pair_ids.join(coords_a, on="lid_a").join(coords_b, on="lid_b")
 
 
 def junctions_path_connected(lines_with_lid: DataFrame, bbox: Tuple) -> DataFrame:

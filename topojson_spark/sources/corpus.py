@@ -60,15 +60,47 @@ def _doc_rng(doc_ix: int, seed: int) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h[:8], "little"))
 
 
-def _square_geojson(col: int, row: int) -> str:
-    # exterior ring, CCW as generated; lattice coords are exact ints ->
-    # shared edges are bit-identical (FIXTURES.md §1 requirement)
+def _edge_midpoints(p0, p1, k: int) -> list:
+    """Deterministic zigzag midpoints of a lattice edge, identical for both
+    traversal directions: computed in the canonical (sorted-endpoint)
+    direction, then reversed if the caller walks the edge backwards. Offsets
+    are perpendicular, seeded by the canonical edge key, bounded at 0.2 so
+    rings stay simple."""
+    if k <= 0:
+        return []
+    a, b = (p0, p1) if p0 <= p1 else (p1, p0)
+    h = hashlib.sha256(f"edge:{a}:{b}".encode()).digest()
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    # unit perpendicular (lattice edges are axis-aligned)
+    px, py = -dy, dx
+    pts = []
+    for i in range(1, k + 1):
+        t = i / (k + 1)
+        off = ((h[i % 32] / 255.0) - 0.5) * 0.4
+        pts.append([a[0] + dx * t + px * off, a[1] + dy * t + py * off])
+    if (p0, p1) != (a, b):
+        pts.reverse()
+    return pts
+
+
+def _square_geojson(col: int, row: int, verts_per_edge: int = 0) -> str:
+    # exterior ring, CCW as generated; coords derived canonically per lattice
+    # edge -> shared edges are bit-identical between the two sharing cells
+    # (FIXTURES.md §1 requirement). verts_per_edge > 0 densifies each edge
+    # with a deterministic zigzag (heavier kernels; same topology).
     x, y = float(col), float(row)
-    ring = [[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]]
+    corners = [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1)]
+    ring = []
+    for i in range(4):
+        p0, p1 = corners[i], corners[(i + 1) % 4]
+        ring.append([p0[0], p0[1]])
+        ring.extend(_edge_midpoints(p0, p1, verts_per_edge))
+    ring.append([x, y])
     return json.dumps({"type": "Polygon", "coordinates": [ring]})
 
 
-def _make_doc(doc_ix: int, grid_w: int, grid_h: int, seed: int) -> list:
+def _make_doc(doc_ix: int, grid_w: int, grid_h: int, seed: int,
+              verts_per_edge: int = 0) -> list:
     """Spans for one document. Document i carries the mosaic polygon for grid
     cell i (if i < W*H); every document additionally gets noise/media spans
     and ~10% get an extra diagonal linestring."""
@@ -87,7 +119,7 @@ def _make_doc(doc_ix: int, grid_w: int, grid_h: int, seed: int) -> list:
     n_cells = grid_w * grid_h
     if doc_ix < n_cells:
         col, row = doc_ix % grid_w, doc_ix // grid_w
-        add("geometry", _square_geojson(col, row))
+        add("geometry", _square_geojson(col, row, verts_per_edge))
     else:
         # extra linestrings crossing the mosaic (junction stressors)
         a = int(rng.integers(0, grid_w))
@@ -112,6 +144,7 @@ def generate_documents(
     grid_h: int = 8,
     seed: int = 42,
     partitions: int | None = None,
+    verts_per_edge: int = 0,
 ) -> DataFrame:
     """Distributed deterministic corpus: one row per document."""
     parts = partitions or max(2, spark.sparkContext.defaultParallelism)
@@ -123,7 +156,10 @@ def generate_documents(
             out = pd.DataFrame(
                 {
                     "doc_id": [f"doc_{i:08d}" for i in ids],
-                    "spans": [_make_doc(int(i), grid_w, grid_h, seed) for i in ids],
+                    "spans": [
+                        _make_doc(int(i), grid_w, grid_h, seed, verts_per_edge)
+                        for i in ids
+                    ],
                 }
             )
             yield out

@@ -55,6 +55,20 @@ class Topology:
         **kwargs,
     ):
         self.options = options or TopoOptions(**kwargs)
+        if isinstance(data, str):
+            # TopoJSON or GeoJSON text (extract.py:650-674 _extract_string)
+            data = json.loads(data)
+        if (
+            isinstance(data, dict)
+            and str(data.get("type", "")).casefold() == "topology"
+        ):
+            # re-ingest path (topology.py:127-132 + utils.py:359-385):
+            # skip extract->hashmap entirely; load the arc store directly
+            if spark is None:
+                raise ValueError("driver-side input requires a SparkSession")
+            self.spark = spark
+            self._init_from_topojson(data)
+            return
         if isinstance(data, DataFrame):
             self.spark = data.sparkSession
             if "spans" in data.columns:
@@ -71,17 +85,56 @@ class Topology:
 
         self._run(features_in)
 
+    # ------------------------------------------------------------ re-ingest
+
+    def _init_from_topojson(self, data: dict) -> None:
+        """Load a finished topology: arcs stored internally in absolute
+        (grid) coordinates; delta re-encoding happens at output time."""
+        self.transform = data.get("transform")
+        arcs_rows = []
+        for i, arc in enumerate(data.get("arcs", [])):
+            coords = np.asarray(arc, dtype=np.float64)
+            if self.transform is not None:
+                coords = coords.cumsum(axis=0)  # delta-decode, keep grid ints
+            arcs_rows.append((i, False, coords.tolist()))
+        self.arcs = self.spark.createDataFrame(
+            arcs_rows,
+            "final_idx long, is_shared boolean, coords array<array<double>>",
+        )
+        if "bbox" in data:
+            self.bbox = tuple(data["bbox"])
+        elif self.transform is not None and arcs_rows:
+            sc, tr = self.transform["scale"], self.transform["translate"]
+            all_pts = np.vstack(
+                [np.asarray(a[2]) * np.asarray(sc) + np.asarray(tr)
+                 for a in arcs_rows]
+            )
+            self.bbox = (
+                float(all_pts[:, 0].min()), float(all_pts[:, 1].min()),
+                float(all_pts[:, 0].max()), float(all_pts[:, 1].max()),
+            )
+        else:
+            self.bbox = None
+        self._preresolved_objects = copy.deepcopy(data["objects"])
+        self.points = self.spark.createDataFrame(
+            [],
+            "feature_seq long, fkey string, object_name string, "
+            "unit_seq int, pt_seq int, x double, y double",
+        )
+        self.junctions = None
+        self.features = None
+        self.refs = None
+        self.resolved = None
+
     # ------------------------------------------------------------ pipeline
 
     def _run(self, features_in: DataFrame) -> None:
+        self._preresolved_objects = None
         opts = self.options
+        # extract lineage-truncates its unified parse internally: each
+        # document's JSON is parsed exactly once across all downstream actions
         lines0, points0, features = extract(features_in, opts)
-        # materialize the parse once: every downstream action (bbox agg,
-        # junction groupBy, cut, dedup) would otherwise re-run the span
-        # parsing mapInPandas from scratch
-        lines0 = lines0.localCheckpoint(eager=False)
-        points0 = points0.localCheckpoint(eager=False)
-        self.features = features.cache()
+        self.features = features
 
         lines, points, bbox, transform, junctions = join_stage(
             lines0, points0, opts
@@ -201,6 +254,16 @@ class Topology:
         """Assemble the reference-shaped topology dict (driver-side; the
         output topology is small relative to the input corpus — at full
         scale use write_tables instead)."""
+        if getattr(self, "_preresolved_objects", None) is not None:
+            out = {
+                "type": "Topology",
+                "objects": copy.deepcopy(self._preresolved_objects),
+                "bbox": tuple(self.bbox) if self.bbox else (),
+                "arcs": self.arcs_list(),
+            }
+            if self.transform is not None:
+                out["transform"] = copy.deepcopy(self.transform)
+            return out
         resolved = self._collect_resolved()
         points = self._collect_points()
         feats = sorted(
