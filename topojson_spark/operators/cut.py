@@ -6,15 +6,27 @@ the lines (vertex-key equi-join in coords-connected mode, bbox-cell join in
 path-connected mode) and the actual split runs the exact fast_split kernel
 (ops.py:270-335, including ring rotation) inside an Arrow UDF.
 
-Output: one row per arc —
-    arcs(feature_seq, fkey, object_name, unit_seq, ring_seq, gtype,
-         is_ring, split_seq, coords)
+Scale design — cut distinct content once: a web-scale corpus repeats the
+same geometry across many documents, and splitting depends only on the
+line's coordinates + ring flag, never on which feature carries it. So lines
+are grouped by a content digest (``ldig`` = sha1 of the exact coordinate
+bytes + ring flag), ONE representative per digest is split, and per-feature
+identity travels as narrow ref tuples joined back on the digest. Coordinate
+arrays therefore exist in O(distinct lines), not O(features) — the
+reference's per-feature split (cut.py:106-130) distributes without
+re-running identical work.
+
+Output: (parts, refs) —
+    parts(ldig, split_seq, coords)                    one row per distinct arc
+    refs(feature_seq, fkey, object_name, unit_seq,
+         ring_seq, gtype, is_ring, split_seq, ldig)   one row per feature arc
 (feature_seq, unit_seq, ring_seq, split_seq) is the reference's positional
 extract order; dense ids are minted only at write time.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -24,6 +36,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import kernels as K
+from ..plans.pin import pin
+
+PARTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ldig", T.BinaryType()),
+        T.StructField("split_seq", T.IntegerType()),
+        T.StructField("coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
 
 ARCS_SCHEMA = T.StructType(
     [
@@ -51,58 +72,63 @@ _LINE_COLS = [
 ]
 
 
-def _emit_parts(row, parts, out):
-    for si, part in enumerate(parts):
-        out.append(
-            (
-                row.feature_seq,
-                row.fkey,
-                row.object_name,
-                row.unit_seq,
-                row.ring_seq,
-                row.gtype,
-                row.is_ring,
-                si,
-                part.tolist(),
-            )
-        )
+@F.pandas_udf(T.BinaryType())
+def _line_digest(coords: pd.Series, is_ring: pd.Series) -> pd.Series:
+    """Exact-content line identity: sha1 over raw float64 coordinate bytes
+    (with -0.0 normalized) + the ring flag. Byte-identical duplicate lines —
+    the common case in a dedup-heavy corpus — collapse here; canonically-
+    equal-but-byte-different arcs still collapse later in the dedup stage."""
+    sha1 = hashlib.sha1
+    as_np = K.as_np
+
+    def dig(c, r):
+        return sha1(
+            (as_np(c) + 0.0).tobytes() + (b"R" if r else b"L")
+        ).digest()
+
+    return pd.Series([dig(c, r) for c, r in zip(coords, is_ring)])
 
 
-def _cut_with_splitters(lines_with_split: DataFrame, path_mode: bool) -> DataFrame:
-    """lines frame must carry a ``splitters`` array<array<double>> column
-    (null/empty when the line has no junction candidates)."""
+def _cut_with_splitters(reps_with_split: DataFrame, path_mode: bool) -> DataFrame:
+    """``reps_with_split`` has (ldig, is_ring, coords, splitters); returns
+    parts (ldig, split_seq, coords)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                line = np.asarray([list(c) for c in row.coords], dtype=np.float64)
+                line = K.as_np(row.coords)
                 spl = row.splitters
+                parts = None
                 if spl is None or len(spl) == 0:
-                    _emit_parts(row, [K.remove_collinear_points(line)], out)
-                    continue
-                pts = np.asarray([list(p) for p in spl], dtype=np.float64)
-                if path_mode:
-                    # select junctions on the line (1e-8), insert missing
-                    # vertices, then split at all of them (cut.py:130 +
-                    # ops.py:194-267)
-                    d, _ = K._dist_and_proj_to_polyline(pts, line)
-                    pts_on = pts[d < K.ON_LINE_TOL]
-                    if len(pts_on) == 0:
-                        _emit_parts(row, [K.remove_collinear_points(line)], out)
-                        continue
-                    line = K.insert_points_on_line(line, pts_on)
-                    keys = K.packed_vertex_keys(pts_on)
+                    parts = [K.remove_collinear_points(line)]
                 else:
-                    keys = K.packed_vertex_keys(pts)
-                parts = K.fast_split(line, keys, bool(row.is_ring))
-                parts = [K.remove_collinear_points(p) for p in parts]
-                _emit_parts(row, parts, out)
+                    pts = K.as_np(spl)
+                    if path_mode:
+                        # select junctions on the line (1e-8), insert missing
+                        # vertices, then split at all of them (cut.py:130 +
+                        # ops.py:194-267)
+                        d, _ = K._dist_and_proj_to_polyline(pts, line)
+                        pts_on = pts[d < K.ON_LINE_TOL]
+                        if len(pts_on) == 0:
+                            parts = [K.remove_collinear_points(line)]
+                        else:
+                            line = K.insert_points_on_line(line, pts_on)
+                            keys = K.packed_vertex_keys(pts_on)
+                    else:
+                        keys = K.packed_vertex_keys(pts)
+                    if parts is None:
+                        parts = [
+                            K.remove_collinear_points(p)
+                            for p in K.fast_split(line, keys, bool(row.is_ring))
+                        ]
+                for si, part in enumerate(parts):
+                    out.append((row.ldig, si, part.tolist()))
             yield pd.DataFrame(
-                out, columns=[f.name for f in ARCS_SCHEMA.fields]
+                out, columns=[f.name for f in PARTS_SCHEMA.fields]
             )
 
-    return lines_with_split.mapInPandas(run, schema=ARCS_SCHEMA)
+    return reps_with_split.mapInPandas(run, schema=PARTS_SCHEMA)
 
 
 def cut_stage(
@@ -110,24 +136,28 @@ def cut_stage(
     junctions: Optional[DataFrame],
     shared_coords: bool,
     bbox: Optional[Tuple] = None,
-) -> DataFrame:
+) -> Tuple[DataFrame, DataFrame]:
     """Split lines at junctions; always drops collinear interior vertices
-    (cut.py:136-147 does so on every path)."""
+    (cut.py:136-147 does so on every path). Returns (parts, refs)."""
     lines = lines.select(*_LINE_COLS).withColumn(
-        "lid",
-        F.xxhash64(F.col("feature_seq"), F.col("unit_seq"), F.col("ring_seq")),
+        "ldig", _line_digest("coords", "is_ring")
+    )
+
+    # one representative per distinct line content (coords equal by digest)
+    reps = lines.groupBy("ldig").agg(
+        F.first("is_ring").alias("is_ring"),
+        F.first("coords").alias("coords"),
     )
 
     if junctions is None:
-        no_split = lines.withColumn(
+        with_split = reps.withColumn(
             "splitters", F.lit(None).cast(T.ArrayType(T.ArrayType(T.DoubleType())))
         )
-        return _cut_with_splitters(no_split, path_mode=False)
-
-    if shared_coords:
+        parts = _cut_with_splitters(with_split, path_mode=False)
+    elif shared_coords:
         # exact vertex-key equi-join: junction must be an existing vertex
-        verts = lines.select(
-            "lid",
+        verts = reps.select(
+            "ldig",
             F.explode(
                 F.expr(
                     "transform(coords, c -> struct("
@@ -135,14 +165,19 @@ def cut_stage(
                     "bigint(round(c[1] * 1e8)) as ky))"
                 )
             ).alias("v"),
-        ).select("lid", "v.kx", "v.ky").dropDuplicates(["lid", "kx", "ky"])
+        ).select("ldig", "v.kx", "v.ky").dropDuplicates(["ldig", "kx", "ky"])
         jkeys = junctions.select(
             F.round(F.col("jx") * 1e8).cast("long").alias("kx"),
             F.round(F.col("jy") * 1e8).cast("long").alias("ky"),
             "jx",
             "jy",
         )
-        matched = verts.join(jkeys, on=["kx", "ky"]).select("lid", "jx", "jy")
+        matched = verts.join(jkeys, on=["kx", "ky"]).select("ldig", "jx", "jy")
+        splitters = matched.groupBy("ldig").agg(
+            F.collect_list(F.array("jx", "jy")).alias("splitters")
+        )
+        with_split = reps.join(splitters, on="ldig", how="left")
+        parts = _cut_with_splitters(with_split, path_mode=False)
     else:
         # bbox containment join: junction within the line's envelope
         # (np_array_bbox_points_line, ops.py:162-191); grid cells prune
@@ -152,7 +187,9 @@ def cut_stage(
         cell = span / 64 if span > 0 else 1.0
         from .join import _with_bbox_cells
 
-        lcells = _with_bbox_cells(lines.select("lid", "coords"), bbox, cell)
+        lcells = _with_bbox_cells(
+            reps.selectExpr("ldig as lid", "coords"), bbox, cell
+        )
         jcells = junctions.select(
             "jx",
             "jy",
@@ -169,12 +206,27 @@ def cut_stage(
                 & (F.col("jy") >= F.array_min(ys))
                 & (F.col("jy") <= F.array_max(ys))
             )
-            .select("lid", "jx", "jy")
-            .dropDuplicates(["lid", "jx", "jy"])
+            .select(F.col("lid").alias("ldig"), "jx", "jy")
+            .dropDuplicates(["ldig", "jx", "jy"])
         )
+        splitters = matched.groupBy("ldig").agg(
+            F.collect_list(F.array("jx", "jy")).alias("splitters")
+        )
+        with_split = reps.join(splitters, on="ldig", how="left")
+        parts = _cut_with_splitters(with_split, path_mode=True)
 
-    splitters = matched.groupBy("lid").agg(
-        F.collect_list(F.array("jx", "jy")).alias("splitters")
+    # pin the distinct-arc table: it is read by refs expansion, dedup digest
+    # and the kept-coords lookup; without the pin every consumer re-runs the
+    # whole digest+splitter+split cascade
+    parts = pin(parts)
+    line_refs = lines.drop("coords")
+    return parts, line_refs
+
+
+def cut_arcs_wide(parts: DataFrame, line_refs: DataFrame) -> DataFrame:
+    """Reference-shaped wide view — one row per feature arc WITH coords (the
+    cut output of cut.py:170-172; test/inspection surface, not the scale
+    path)."""
+    return line_refs.join(parts, on="ldig").select(
+        *[f.name for f in ARCS_SCHEMA.fields]
     )
-    with_split = lines.join(splitters, on="lid", how="left")
-    return _cut_with_splitters(with_split, path_mode=not shared_coords)

@@ -26,6 +26,16 @@ Re-expresses /root/reference/topojson/core/dedup.py:55-303 relationally:
   merge-eligible when its arc count equals the *global maximum* row length
   (shorter rows have padding NaN in the last column). We reproduce this with
   a global max-length aggregate.
+
+Scale design — everything per DISTINCT content: a feature row's arc list,
+ref positions, merge eligibility and shared flags are all functions of the
+row's line digest (``ldig``), because dedup semantics depend only on
+coordinates and extract positions, and the max position among rows carrying
+an ldig summarizes all of them. So every aggregation here runs over
+O(distinct lines + distinct arcs) rows; the O(features x arcs) refs frame
+exists only as a lazy join view (``expand_refs``) that downstream consumers
+stream through exactly once. No coordinate array is ever shuffled per
+feature row.
 """
 
 from __future__ import annotations
@@ -41,14 +51,9 @@ from pyspark.sql import types as T
 
 from ..functions import kernels as K
 from ..plans.ids import dense_index
+from ..plans.pin import pin
 
-_ROW_KEY = ["feature_seq", "unit_seq", "ring_seq"]
 _POS = ["feature_seq", "unit_seq", "ring_seq", "split_seq"]
-
-
-def _okey(prefix: str = "") -> F.Column:
-    """Lexicographic extract-position struct (content-derived arc id)."""
-    return F.struct(*[F.col(prefix + c).alias(c) for c in _POS])
 
 
 def merge_lines_with_members(
@@ -105,32 +110,10 @@ def merge_lines_with_members(
     return chains
 
 
-def dedup_stage(arcs: DataFrame):
-    """Input: cut output. Returns (arcs_final, refs_final):
-
-    arcs_final(final_idx, is_shared, coords)
-    refs_final(feature_seq, fkey, object_name, unit_seq, ring_seq, gtype,
-               is_ring, split_seq, final_idx, is_shared)
-    """
-
-    @F.pandas_udf(T.BinaryType())
-    def dup_digest(coords: pd.Series) -> pd.Series:
-        return coords.map(
-            lambda c: hashlib.sha1(
-                K.canonical_dup_bytes(np.asarray([list(p) for p in c]))
-            ).digest()
-        )
-
-    arcs = arcs.withColumn("dig", dup_digest("coords")).localCheckpoint(
-        eager=False
-    )
-
-    # keep the max extract position within each duplicate group (struct
-    # lexicographic max == the reference's positional keep-max); no sort
-    keeps = arcs.groupBy("dig").agg(F.max(_okey()).alias("kept"))
-    mapped = arcs.join(keeps, on="dig").drop("dig").localCheckpoint(eager=False)
-
-    refs0 = mapped.select(
+def expand_refs(line_refs: DataFrame, pmap: DataFrame) -> DataFrame:
+    """Lazy O(features x arcs) view: one row per feature arc ref —
+    the reference's bookkeeping_arcs shape (dedup.py:104-110)."""
+    return line_refs.join(pmap, on="ldig").select(
         "feature_seq",
         "fkey",
         "object_name",
@@ -139,50 +122,119 @@ def dedup_stage(arcs: DataFrame):
         "gtype",
         "is_ring",
         "split_seq",
-        "kept",
+        "final_idx",
+        "is_shared",
     )
-    kept_arcs = mapped.where(_okey() == F.col("kept")).select("kept", "coords")
+
+
+def dedup_stage(parts: DataFrame, line_refs: DataFrame):
+    """Inputs from the cut stage:
+
+    parts(ldig, split_seq, coords)   distinct arcs (pinned)
+    line_refs(feature_seq, fkey, object_name, unit_seq, ring_seq, gtype,
+              is_ring, ldig)         one row per feature LINE
+
+    Returns (arcs_final, refs_final, pmap):
+
+    arcs_final(final_idx, is_shared, coords)  the deduplicated arc store
+    pmap(ldig, split_seq, final_idx, is_shared)  distinct part -> arc map
+    refs_final  the expanded per-feature-arc view (lazy; tests/export only)
+    """
+
+    @F.pandas_udf(T.BinaryType())
+    def dup_digest(coords: pd.Series) -> pd.Series:
+        sha1 = hashlib.sha1
+        canon = K.canonical_dup_bytes
+        as_np = K.as_np
+        return coords.map(lambda c: sha1(canon(as_np(c))).digest())
+
+    # canonical duplicate digest per distinct part (ops.py:961-971 rules)
+    parts_d = pin(parts.withColumn("pdig", dup_digest("coords")))
+
+    # per-ldig summary of the feature rows carrying it: the max extract
+    # position (all a duplicate group's keep-max can ever need) + ref count
+    line_agg = pin(
+        line_refs.groupBy("ldig").agg(
+            F.max(
+                F.struct("feature_seq", "unit_seq", "ring_seq")
+            ).alias("lmax"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+    # candidate keep position per (part, ldig): (lmax..., split_seq)
+    part_pos = parts_d.select("ldig", "split_seq", "pdig").join(
+        line_agg, on="ldig"
+    )
+    pos_struct = F.struct(
+        F.col("lmax.feature_seq").alias("feature_seq"),
+        F.col("lmax.unit_seq").alias("unit_seq"),
+        F.col("lmax.ring_seq").alias("ring_seq"),
+        F.col("split_seq").alias("split_seq"),
+    )
+    # the salted hash-shuffle of the north rule — but over O(distinct arcs)
+    # candidates, since the per-feature maxima are already folded into lmax
+    agg = pin(
+        part_pos.groupBy("pdig").agg(
+            F.max(pos_struct).alias("kept"),
+            F.sum("n_lines").alias("n_refs"),
+        )
+    )
+
+    kept_arcs = (
+        parts_d.groupBy("pdig")
+        .agg(
+            F.max_by(
+                "coords", F.struct(F.col("ldig"), F.col("split_seq"))
+            ).alias("coords")
+        )
+        .join(agg.select("pdig", "kept"), on="pdig")
+        .select("kept", "coords")
+    )
 
     # shared arcs: referenced more than once after dedup (dedup.py:203-205)
-    shared0 = (
-        refs0.groupBy("kept")
-        .agg(F.count(F.lit(1)).alias("n_refs"))
-        .withColumn("is_shared", F.col("n_refs") > 1)
-        .select("kept", "is_shared")
-    )
+    shared_by_pdig = agg.select("pdig", (F.col("n_refs") > 1).alias("is_shared"))
 
-    # ---- contiguous merge eligibility (incl. the padded-array quirk) ----
-    row_stats = refs0.groupBy(*_ROW_KEY).agg(
-        F.count(F.lit(1)).alias("row_len")
+    # ---- contiguous merge (incl. the padded-array quirk) ----
+    # row-level facts are ldig-level facts: row_len = n parts of the ldig,
+    # shared flags come from the parts' digests
+    part_flags = parts_d.select("ldig", "split_seq", "pdig").join(
+        shared_by_pdig, on="pdig"
     )
-    max_len_row = row_stats.agg(F.max("row_len").alias("m")).collect()[0]
-    max_len = int(max_len_row["m"]) if max_len_row["m"] is not None else 0
+    len_row = parts_d.groupBy("ldig").agg(
+        F.max("split_seq").alias("max_split")
+    )
+    max_len_row = len_row.agg(F.max("max_split").alias("m")).collect()[0]
+    max_len = int(max_len_row["m"]) + 1 if max_len_row["m"] is not None else 0
 
     popped_merge = None
     merged_coords = None
     if max_len > 1:
-        refs_flag = refs0.join(shared0, on="kept")
-        bad_rows = (
-            refs_flag.where(
+        bad_ldigs = (
+            part_flags.where(
                 (
                     (F.col("split_seq") == 0)
                     | (F.col("split_seq") == max_len - 1)
                 )
                 & F.col("is_shared")
             )
-            .select(*_ROW_KEY)
+            .select("ldig")
             .distinct()
         )
+        # rows (== ldigs: an ldig carried by >1 row has all-shared arcs and
+        # lands in bad_ldigs) with exactly max_len arcs, first+last unshared
         eligible = (
-            row_stats.where(F.col("row_len") == max_len)
-            .join(bad_rows, on=_ROW_KEY, how="left_anti")
-            .select(*_ROW_KEY)
+            len_row.where(F.col("max_split") == max_len - 1)
+            .join(bad_ldigs, on="ldig", how="left_anti")
+            .select("ldig")
         )
         merge_in = (
-            refs_flag.join(eligible, on=_ROW_KEY)
+            part_flags.join(eligible, on="ldig")
             .where(~F.col("is_shared"))
-            .join(kept_arcs, on="kept")
-            .select(*_ROW_KEY, "split_seq", "kept", "coords")
+            .join(agg.select("pdig", "kept"), on="pdig")
+            .join(parts_d.select("ldig", "split_seq", "coords"),
+                  on=["ldig", "split_seq"])
+            .select("ldig", "split_seq", "kept", "coords")
         )
 
         kept_t = T.StructType(
@@ -205,10 +257,7 @@ def dedup_stage(arcs: DataFrame):
 
         def merge_row(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("split_seq")
-            pieces = [
-                np.asarray([list(p) for p in c], dtype=np.float64)
-                for c in pdf["coords"]
-            ]
+            pieces = [K.as_np(c) for c in pdf["coords"]]
             keys = list(pdf["kept"])
             chains = merge_lines_with_members(pieces)
             if len(chains) == len(pieces):
@@ -241,15 +290,26 @@ def dedup_stage(arcs: DataFrame):
             ]
             return pd.DataFrame(rows, columns=["kept", "action", "new_coords"])
 
-        merged = (
-            merge_in.groupBy(*_ROW_KEY).applyInPandas(merge_row, schema=out_schema)
-        ).localCheckpoint(eager=False)
-        popped_merge = merged.where(F.col("action") == "pop").select("kept")
-        merged_coords = merged.where(F.col("action") == "keep").select(
-            "kept", "new_coords"
+        merged = pin(
+            merge_in.groupBy("ldig").applyInPandas(merge_row, schema=out_schema)
         )
+        # empty merge result (the common case at scale: shared-arc-heavy
+        # corpora have no merge-eligible rows) -> skip the pop tail
+        if merged.count() == 0:
+            merged = None
+        if merged is not None:
+            popped_merge = merged.where(F.col("action") == "pop").select("kept")
+            merged_coords = merged.where(F.col("action") == "keep").select(
+                "kept", "new_coords"
+            )
 
     # ---- apply merge results ----
+    # pops only ever remove non-shared (single-ref) arcs, so surviving
+    # arcs' ref counts — hence is_shared — are unchanged (the reference
+    # recomputes them, dedup.py:299-301; provably identical here)
+    pmap0 = parts_d.select("ldig", "split_seq", "pdig").join(
+        agg.select("pdig", "kept"), on="pdig"
+    )
     if popped_merge is not None:
         kept_arcs = kept_arcs.join(popped_merge, on="kept", how="left_anti")
         kept_arcs = (
@@ -259,16 +319,7 @@ def dedup_stage(arcs: DataFrame):
             )
             .drop("new_coords")
         )
-        refs_final = refs0.join(popped_merge, on="kept", how="left_anti")
-    else:
-        refs_final = refs0
-
-    shared_final = (
-        refs_final.groupBy("kept")
-        .agg(F.count(F.lit(1)).alias("n_refs"))
-        .withColumn("is_shared", F.col("n_refs") > 1)
-        .select("kept", "is_shared")
-    )
+        pmap0 = pmap0.join(popped_merge, on="kept", how="left_anti")
 
     # dense ids: only the (small) survivor set is sorted
     kept_flat = kept_arcs.select(
@@ -281,12 +332,19 @@ def dedup_stage(arcs: DataFrame):
     )
     arcs_final = dense_index(kept_flat, ["_f", "_u", "_r", "_s"], "final_idx")
     arcs_final = (
-        arcs_final.join(shared_final, on="kept", how="left")
+        arcs_final.join(
+            agg.select("kept", (F.col("n_refs") > 1).alias("is_shared")),
+            on="kept",
+            how="left",
+        )
         .fillna({"is_shared": False})
         .select("kept", "final_idx", "is_shared", "coords")
     )
 
-    refs_final = refs_final.join(
-        arcs_final.select("kept", "final_idx", "is_shared"), on="kept"
-    ).drop("kept")
-    return arcs_final.drop("kept"), refs_final
+    pmap = pin(
+        pmap0.join(
+            arcs_final.select("kept", "final_idx", "is_shared"), on="kept"
+        ).select("ldig", "split_seq", "final_idx", "is_shared")
+    )
+    refs_final = expand_refs(line_refs, pmap)
+    return arcs_final.drop("kept"), refs_final, pmap

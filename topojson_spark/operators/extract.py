@@ -322,7 +322,11 @@ def extract(
 
     unified = features_in.mapInPandas(emit, schema=UNIFIED_SCHEMA)
     if not unified.isStreaming:
-        unified = unified.localCheckpoint(eager=False)
+        # pin the unified parse so every downstream branch (lines / points /
+        # features) reads the parse output instead of re-parsing JSON
+        from ..plans.pin import pin
+
+        unified = pin(unified)
 
     lines = unified.where(F.col("rec") == "line").select(
         *[f.name for f in LINES_SCHEMA.fields]

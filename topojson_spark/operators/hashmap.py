@@ -5,7 +5,18 @@ logic (_hash_order / _backward_arcs / _resolve_orient) is inherently
 sequential *within one ring* but embarrassingly parallel across rings, so it
 runs as an Arrow-batched pandas pass over rows of
 
-    (feature_seq, unit_seq, ring_seq, [ordered arc refs + flags + coords])
+    (feature_seq, unit_seq, ring_seq, [ordered arc refs + flags + summaries])
+
+Scale design: the full arc coordinate arrays never reach this stage. All the
+reference's per-arc decisions consume only arc *endpoints*
+(hashmap.py:221-228 coord_f/coord_l) and, for the order-3 winding check, the
+ring's signed area (hashmap.py:313-328). The signed area of the stitched ring
+decomposes exactly into per-arc open-chain shoelace partials plus the cyclic
+connection cross-terms between consecutive oriented endpoints (duplicate join
+vertices contribute zero in the reference's cyclic formula, ops.py:338-357),
+so each arc ships as a fixed-size 6-number summary computed JVM-side — the
+join/groupBy here shuffles O(refs) small structs, not O(refs x arc length)
+coordinates.
 
 Negative encoding: reversed traversal of arc i is written -(i+1)
 (hashmap.py:258), decoded downstream with ~arc.
@@ -13,7 +24,6 @@ Negative encoding: reversed traversal of arc i is written -(i+1)
 
 from __future__ import annotations
 
-import json
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -22,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import kernels as K
 from ..options import TopoOptions
 
 RESOLVED_SCHEMA = T.StructType(
@@ -34,6 +43,16 @@ RESOLVED_SCHEMA = T.StructType(
         T.StructField("ring_seq", T.IntegerType()),
         T.StructField("signed_arcs", T.ArrayType(T.LongType())),
     ]
+)
+
+# open-chain shoelace partial: sum_i cross(c_i, c_{i+1}) over the arc's own
+# segments (reversal negates it); guarded so a degenerate 1-point arc can't
+# produce a descending sequence()
+_SHL_EXPR = (
+    "if(size(coords) >= 2, "
+    "aggregate(sequence(0, size(coords) - 2), cast(0.0 as double), "
+    "(acc, i) -> acc + coords[i][0] * coords[i+1][1] "
+    "- coords[i+1][0] * coords[i][1]), 0.0d)"
 )
 
 
@@ -62,13 +81,17 @@ def _hash_order(arc_ids: np.ndarray, shared_bool: np.ndarray):
 def backward_arcs(
     arc_ids: List[int],
     shared: List[bool],
-    coords_by_id: dict,
+    info_by_id: dict,
     inner: bool,
     winding_order: Optional[str],
 ) -> List[int]:
     """Port of hashmap.py:198-311 including the loop-carried
     previous_arc_backwards state and the order-3 winding double-check
-    (hashmap.py:296-309). ``coords_by_id`` maps final arc id -> np array."""
+    (hashmap.py:296-309).
+
+    ``info_by_id`` maps final arc id -> (first_pt, last_pt, shoelace_partial)
+    where the points are (x, y) tuples; endpoint equality is exact float
+    equality, matching the reference's np.array_equiv on raw coords."""
     arc_ids = np.asarray(arc_ids, dtype=np.int64)
     shared_bool = np.asarray(shared, dtype=bool)
     order_of_arc, split_arc_ids = _hash_order(arc_ids, shared_bool)
@@ -89,38 +112,34 @@ def backward_arcs(
             if arc_idx_prev < 0:
                 arc_idx_prev = abs(arc_idx_prev) - 1
 
-            current_arc = coords_by_id[int(arc_idx)]
-            previous_arc = coords_by_id[int(arc_idx_prev)]
-            coord_f = current_arc[0]
-            coord_l = current_arc[-1]
+            coord_f, coord_l, _ = info_by_id[int(arc_idx)]
+            f_prev, l_prev, _ = info_by_id[int(arc_idx_prev)]
             if not previous_arc_backwards:
-                coord_f_prev, coord_l_prev = previous_arc[0], previous_arc[-1]
+                coord_f_prev, coord_l_prev = f_prev, l_prev
             else:
-                coord_f_prev, coord_l_prev = previous_arc[-1], previous_arc[0]
+                coord_f_prev, coord_l_prev = l_prev, f_prev
 
             if order == 1:
-                if not np.array_equiv(coord_l_prev, coord_f):
+                if coord_l_prev != coord_f:
                     split_arc[idx] = -(arc_idx + 1)
                     previous_arc_backwards = True
                 else:
                     previous_arc_backwards = False
             elif order == 2:
-                if not np.array_equiv(coord_f_prev, coord_l):
+                if coord_f_prev != coord_l:
                     split_arc[idx] = -(arc_idx + 1)
                     previous_arc_backwards = True
                 else:
                     previous_arc_backwards = False
             elif order == 3:
-                if np.array_equiv(coord_f_prev, coord_l) and not np.array_equiv(
-                    coord_l_prev, coord_f
-                ):
+                if coord_f_prev == coord_l and coord_l_prev != coord_f:
                     split_arc[idx - 1] = -(arc_idx_prev + 1)
                     split_arc[idx] = -(arc_idx + 1)
                     previous_arc_backwards = True
-                elif np.array_equiv(coord_f, coord_f_prev):
+                elif coord_f == coord_f_prev:
                     split_arc[idx - 1] = -(arc_idx_prev + 1)
                     previous_arc_backwards = False
-                elif not np.array_equiv(coord_l_prev, coord_f):
+                elif coord_l_prev != coord_f:
                     split_arc[idx] = -(arc_idx + 1)
                     previous_arc_backwards = True
                 else:
@@ -143,82 +162,144 @@ def backward_arcs(
             need_ccw = False
         else:
             need_ccw = True
-        out = _resolve_orient(out, need_ccw, coords_by_id)
+        out = _resolve_orient(out, need_ccw, info_by_id)
     return [int(v) for v in out]
 
 
-def _resolve_orient(arcs_idx: List[int], need_ccw: bool, coords_by_id: dict):
-    """hashmap.py:313-328: stitch the ring, test winding, flip all if wrong."""
-    parts = []
+def _resolve_orient(arcs_idx: List[int], need_ccw: bool, info_by_id: dict):
+    """hashmap.py:313-328: stitch the ring, test winding, flip all if wrong.
+
+    The stitched ring's cyclic shoelace sum = sum of oriented per-arc
+    partials + cross-terms of the connection edges (end_k -> start_{k+1},
+    cyclically). Exactly the reference's signed_area over the vstacked ring
+    (ops.py:338-357): its duplicated join vertices contribute zero there,
+    and here coinciding endpoints give cross(p, p) = 0."""
+    total = 0.0
+    ends = []  # oriented (first, last) per arc
     for arc_idx in arcs_idx:
         if arc_idx < 0:
-            parts.append(coords_by_id[int(~arc_idx)][::-1])
+            f, l, shl = info_by_id[int(~arc_idx)]
+            ends.append((l, f))
+            total -= shl
         else:
-            parts.append(coords_by_id[int(arc_idx)])
-    lring = np.vstack(parts)
-    if K.is_ccw(lring) != need_ccw:
+            f, l, shl = info_by_id[int(arc_idx)]
+            ends.append((f, l))
+            total += shl
+    k = len(ends)
+    for i in range(k):
+        e = ends[i][1]
+        s = ends[(i + 1) % k][0]
+        total += e[0] * s[1] - s[0] * e[1]
+    ring_is_ccw = (total / 2.0) >= 0.0
+    if ring_is_ccw != need_ccw:
         return (np.array(arcs_idx) * -1 - 1).tolist()
     return arcs_idx
 
 
+_RESOLVED_D_SCHEMA = T.StructType(
+    [
+        T.StructField("ldig", T.BinaryType()),
+        T.StructField("inner", T.BooleanType()),
+        T.StructField("signed_arcs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
 def hashmap_stage(
-    refs_final: DataFrame, arcs_final: DataFrame, options: TopoOptions
+    line_refs: DataFrame,
+    pmap: DataFrame,
+    arcs_final: DataFrame,
+    options: TopoOptions,
 ) -> DataFrame:
-    """Resolve every line row's arc refs into signed arc lists."""
+    """Resolve every line row's arc refs into signed arc lists.
+
+    Scale design — resolve per DISTINCT line: the signed-arc decision is a
+    function of (the line's arc sequence, inner-vs-outer ring, winding
+    option) only, and the arc sequence is a function of the line digest. So
+    the sequential reference logic runs once per (ldig, inner) and the
+    result joins back to the O(features) rows — duplicate-heavy corpora
+    never repeat it.
+    """
     winding = options.winding_order
 
-    rows = (
-        refs_final.join(
-            arcs_final.select(
-                F.col("final_idx").alias("_fi"), F.col("coords").alias("_coords")
-            ),
-            on=refs_final["final_idx"] == F.col("_fi"),
-        )
-        .groupBy("feature_seq", "fkey", "object_name", "unit_seq", "ring_seq")
+    summary = arcs_final.select(
+        F.col("final_idx").alias("_fi"),
+        F.expr("coords[0][0]").alias("_fx"),
+        F.expr("coords[0][1]").alias("_fy"),
+        F.expr("element_at(coords, -1)[0]").alias("_lx"),
+        F.expr("element_at(coords, -1)[1]").alias("_ly"),
+        F.expr(_SHL_EXPR).alias("_shl"),
+    )
+
+    # per-distinct-line ordered entries, shipped to Python as parallel
+    # PRIMITIVE arrays (Arrow hands them over as numpy arrays) —
+    # array-of-struct would surface as one Python dict per entry
+    entries = (
+        pmap.join(summary, on=pmap["final_idx"] == F.col("_fi"))
+        .groupBy("ldig")
         .agg(
             F.sort_array(
                 F.collect_list(
-                    F.struct("split_seq", "final_idx", "is_shared", "_coords")
+                    F.struct(
+                        "split_seq", "final_idx", "is_shared",
+                        "_fx", "_fy", "_lx", "_ly", "_shl",
+                    )
                 )
             ).alias("entries")
         )
+        .select(
+            "ldig",
+            F.expr("transform(entries, e -> e.final_idx)").alias("ids"),
+            F.expr("transform(entries, e -> e.is_shared)").alias("shr"),
+            F.expr("transform(entries, e -> e._fx)").alias("fx"),
+            F.expr("transform(entries, e -> e._fy)").alias("fy"),
+            F.expr("transform(entries, e -> e._lx)").alias("lx"),
+            F.expr("transform(entries, e -> e._ly)").alias("ly"),
+            F.expr("transform(entries, e -> e._shl)").alias("shl"),
+        )
     )
+    # a line is resolved once per ring-position polarity it appears in
+    inners = line_refs.select(
+        "ldig", (F.col("ring_seq") > 0).alias("inner")
+    ).distinct()
+    per_line = entries.join(inners, on="ldig")
 
     def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                entries = sorted(row.entries, key=lambda e: e["split_seq"])
-                ids = [int(e["final_idx"]) for e in entries]
-                shared = [bool(e["is_shared"]) for e in entries]
-                coords_by_id = {
-                    int(e["final_idx"]): np.asarray(
-                        [list(p) for p in e["_coords"]], dtype=np.float64
-                    )
-                    for e in entries
-                }
+                ids = [int(v) for v in row.ids]  # split_seq-sorted
                 if len(ids) > 1:
+                    info = {
+                        i: ((xf, yf), (xl, yl), s)
+                        for i, xf, yf, xl, yl, s in zip(
+                            ids, row.fx, row.fy, row.lx, row.ly, row.shl
+                        )
+                    }
                     signed = backward_arcs(
                         ids,
-                        shared,
-                        coords_by_id,
-                        inner=row.ring_seq > 0,
+                        [bool(b) for b in row.shr],
+                        info,
+                        inner=bool(row.inner),
                         winding_order=winding,
                     )
                 else:
                     signed = ids
-                out.append(
-                    (
-                        row.feature_seq,
-                        row.fkey,
-                        row.object_name,
-                        row.unit_seq,
-                        row.ring_seq,
-                        signed,
-                    )
-                )
+                out.append((row.ldig, row.inner, signed))
             yield pd.DataFrame(
-                out, columns=[f.name for f in RESOLVED_SCHEMA.fields]
+                out, columns=[f.name for f in _RESOLVED_D_SCHEMA.fields]
             )
 
-    return rows.mapInPandas(resolve, schema=RESOLVED_SCHEMA)
+    resolved_d = per_line.mapInPandas(resolve, schema=_RESOLVED_D_SCHEMA)
+    return (
+        line_refs.withColumn("inner", F.col("ring_seq") > 0)
+        .join(resolved_d, on=["ldig", "inner"])
+        .select(
+            "feature_seq",
+            "fkey",
+            "object_name",
+            "unit_seq",
+            "ring_seq",
+            "signed_arcs",
+        )
+    )

@@ -84,7 +84,7 @@ def presimplify_lines(lines: DataFrame, factor: float, algorithm: str) -> DataFr
     def simp(coords: pd.Series) -> pd.Series:
         return coords.map(
             lambda c: K.simplify_coords(
-                np.asarray([list(p) for p in c], dtype=np.float64),
+                K.as_np(c),
                 factor,
                 algorithm,
             ).tolist()
@@ -101,7 +101,7 @@ def quantize_lines(lines: DataFrame, bbox: Tuple, quant_factor: float) -> DataFr
     def quant(coords: pd.Series) -> pd.Series:
         return coords.map(
             lambda c: K.quantize_coords(
-                np.asarray([list(p) for p in c], dtype=np.float64),
+                K.as_np(c),
                 bbox,
                 quant_factor,
             ).astype(np.float64).tolist()
@@ -275,7 +275,7 @@ def junctions_path_connected(lines_with_lid: DataFrame, bbox: Tuple) -> DataFram
     def path_digest(coords: pd.Series) -> pd.Series:
         return coords.map(
             lambda c: K.normalize_path(
-                np.asarray([list(p) for p in c], dtype=np.float64)
+                K.as_np(c)
             )
         )
 
@@ -301,8 +301,8 @@ def junctions_path_connected(lines_with_lid: DataFrame, bbox: Tuple) -> DataFram
             xs, ys = [], []
             for a, b in zip(pdf["coords_a"], pdf["coords_b"]):
                 segs = K.line_pair_shared_segments(
-                    np.asarray([list(p) for p in a], dtype=np.float64),
-                    np.asarray([list(p) for p in b], dtype=np.float64),
+                    K.as_np(a),
+                    K.as_np(b),
                 )
                 for chain in K.merge_segments_to_chains(segs):
                     xs.extend((chain[0][0], chain[-1][0]))

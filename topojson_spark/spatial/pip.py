@@ -101,7 +101,7 @@ def point_in_polygon_join(
         xy = pts[["x", "y"]].to_numpy(dtype=np.float64)
         inside = None
         for _, rrow in rings.iterrows():
-            ring = np.asarray([list(p) for p in rrow["coords"]], dtype=np.float64)
+            ring = K.as_np(rrow["coords"])
             mask = K.points_in_ring(xy, ring)
             if rrow["ring_seq"] == 0:
                 inside = mask

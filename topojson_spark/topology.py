@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions import kernels as K
-from .operators.cut import cut_stage
+from .operators.cut import cut_arcs_wide, cut_stage
 from .operators.dedup import dedup_stage
 from .operators.extract import (
     extract,
@@ -34,6 +34,7 @@ from .operators.extract import (
 from .operators.hashmap import hashmap_stage
 from .operators.join import join_stage
 from .options import TopoOptions
+from .plans.pin import pin
 
 COORDS_T = T.ArrayType(T.ArrayType(T.DoubleType()))
 
@@ -148,19 +149,17 @@ class Topology:
         if transform is not None and bbox is not None:
             q = opts.quant_factor
             cut_bbox = (0.0, 0.0, q - 1, q - 1)
-        arcs_cut = cut_stage(
+        parts, line_refs = cut_stage(
             lines, self.junctions, opts.shared_coords, bbox=cut_bbox
         )
-        # truncate lineage at the stage boundary: the cut output is the
-        # natural per-stage checkpoint (north rule: resumable stages); it
-        # also keeps the downstream dedup/hashmap plans shallow
-        arcs_cut = arcs_cut.localCheckpoint(eager=False)
-        self.arcs_cut = arcs_cut
+        # lazy wide view (reference-shaped cut output) for inspection/tests;
+        # the scale path below never materializes coords per feature row
+        self.arcs_cut = cut_arcs_wide(parts, line_refs)
 
-        arcs_final, refs_final = dedup_stage(arcs_cut)
-        self.arcs = arcs_final.localCheckpoint(eager=False)
-        self.refs = refs_final.localCheckpoint(eager=False)
-        self.resolved = hashmap_stage(self.refs, self.arcs, opts).cache()
+        arcs_final, refs_final, pmap = dedup_stage(parts, line_refs)
+        self.arcs = pin(arcs_final)
+        self.refs = refs_final  # lazy expanded view (export/tests)
+        self.resolved = hashmap_stage(line_refs, pmap, self.arcs, opts).cache()
 
     # ------------------------------------------------------------ outputs
 
@@ -170,7 +169,7 @@ class Topology:
         rows = self.arcs.select("final_idx", "coords").orderBy("final_idx").collect()
         out = []
         for r in rows:
-            c = np.asarray([list(p) for p in r["coords"]], dtype=np.float64)
+            c = K.as_np(r["coords"])
             if self.transform is not None:
                 out.append(K.delta_encode(c).tolist())
             else:
@@ -338,7 +337,7 @@ class Topology:
         @F.pandas_udf(COORDS_T)
         def simp(coords: pd.Series) -> pd.Series:
             def run(c):
-                arr = np.asarray([list(p) for p in c], dtype=np.float64)
+                arr = K.as_np(c)
                 if transform is not None:
                     arr = arr * np.asarray(scale) + np.asarray(translate)
                 return K.simplify_coords(arr, epsilon, algorithm).tolist()
@@ -371,7 +370,7 @@ class Topology:
             def deq(coords: pd.Series) -> pd.Series:
                 return coords.map(
                     lambda c: (
-                        np.asarray([list(p) for p in c], dtype=np.float64)
+                        K.as_np(c)
                         * np.asarray(scale)
                         + np.asarray(translate)
                     ).tolist()
@@ -395,7 +394,7 @@ class Topology:
         def quant(coords: pd.Series) -> pd.Series:
             return coords.map(
                 lambda c: K.quantize_coords(
-                    np.asarray([list(p) for p in c], dtype=np.float64),
+                    K.as_np(c),
                     bbox,
                     quant_factor,
                 )
