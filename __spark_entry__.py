@@ -36,6 +36,17 @@ _TOKS_SQL = (
 # deterministic 64-d query vector for similarity search (same literal in SQL)
 QVEC = [round(((i * 37 + 11) % 64) / 64.0 - 0.5, 6) for i in range(64)]
 
+# deterministic LSH hyperplanes (16 x 64) and IVF centroids (4 x 64): plain
+# rational literals so Spark and the SQL oracle see bit-identical floats
+PLANES = [
+    [round(((i * 37 + j * 101 + 13) % 193) / 193.0 - 0.5, 6) for j in range(64)]
+    for i in range(16)
+]
+CENTROIDS = [
+    [round(((k * 59 + j * 17 + 29) % 83) / 83.0 - 0.5, 6) for j in range(64)]
+    for k in range(4)
+]
+
 from topojson_spark.functions.text import (  # noqa: E402
     MINHASH_AS,
     MINHASH_BS,
@@ -257,6 +268,70 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ivf_assign(spark, sf_dir):
+    from topojson_spark.functions.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, CENTROIDS).select("vec_id", "centroid_id")
+
+
+def _query_probes(planes) -> list:
+    """LSH probe buckets for QVEC against ``planes`` (driver-side literal,
+    shared verbatim by the Spark query and the SQL oracle)."""
+    base = 0
+    for i, p in enumerate(planes):
+        dot = 0.0
+        for a, b in zip(QVEC, p):
+            dot += a * b
+        if dot >= 0:
+            base |= 1 << i
+    probes = {base}
+    for i in range(len(planes)):
+        probes.add(base ^ (1 << i))
+    return sorted(probes)
+
+
+# 8 planes -> 256 buckets: the probed set stays a small fraction of the
+# corpus while still holding a non-trivial candidate pool at sf0.01
+ANN_PLANES = PLANES[:8]
+
+
+def q_ann_lsh(spark, sf_dir):
+    from topojson_spark.functions.similarity import (
+        cosine_topk,
+        lsh_signature_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding",
+        lsh_signature_col("embedding", ANN_PLANES).alias("sig"),
+    )
+    cand = bucketed.where(F.col("sig").isin(_query_probes(ANN_PLANES)))
+    out = cosine_topk(cand, QVEC, 10)
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from topojson_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_neardup_pairs(emb, PLANES, n_bands=4, threshold=0.4)
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r")
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from topojson_spark.functions.text import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6, n_bands=8
+    )
+
+
 def q_pip(spark, sf_dir):
     from topojson_spark.spatial.pip import point_in_polygon_join
 
@@ -306,6 +381,36 @@ def q_topology_mosaic(spark, sf_dir):
     )
 
 
+def q_toposimplify(spark, sf_dir):
+    """Post-op chain parity: pipeline -> toposimplify -> arc sizes
+    (rows-only: geometry op; semantics pinned by tests/test_postops.py)."""
+    from topojson_spark.sources.corpus import generate_documents
+    from topojson_spark.topology import Topology
+
+    docs = generate_documents(spark, n_docs=80, grid_w=8, grid_h=8,
+                              verts_per_edge=4)
+    topo = Topology(docs, prequantize=False).toposimplify(0.3)
+    return topo.arcs.select(
+        "final_idx", F.size("coords").alias("n_points")
+    )
+
+
+def q_vector_tiles(spark, sf_dir):
+    """Raster<->vector tile assignment over the deduplicated arc store
+    (rows-only: geometry op; semantics pinned by tests/test_spatial.py)."""
+    from topojson_spark.sources.corpus import generate_documents
+    from topojson_spark.spatial.tiles import assign_arcs_to_tiles
+    from topojson_spark.topology import Topology
+
+    docs = generate_documents(spark, n_docs=80, grid_w=8, grid_h=8)
+    topo = Topology(docs, prequantize=False)
+    arcs = topo.arcs.select(F.col("final_idx").alias("arc_id"), "coords")
+    out = assign_arcs_to_tiles(arcs, (0.0, 0.0, 8.0, 8.0), zoom=2)
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_arcs")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (rows-only; decode is a deterministic stub)."""
     from topojson_spark.functions.multimodal import extract_features, synth_media
@@ -340,7 +445,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_jaccard,
         "cosine_topk": q_cosine_topk,
+        "ivf_assign": q_ivf_assign,
+        "ann_lsh_topk": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "simhash_neardup": q_simhash_neardup,
         "pip_lattice": q_pip,
+        "toposimplify_arcs": q_toposimplify,
+        "vector_tiles": q_vector_tiles,
         "raster_tiles": q_raster,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
@@ -381,6 +492,27 @@ def _minhash_sig_sql(doc_filter: str = "") -> str:
         {mins}
       FROM sh GROUP BY doc_id
     )"""
+
+
+def _sql_vec(v) -> str:
+    return "[" + ", ".join(str(x) for x in v) + "]"
+
+
+def _sql_dot(vec_expr: str, lit) -> str:
+    """Dot product of a FLOAT[] column with a literal vector — identical
+    fold shape to the Spark side (F.aggregate over zip_with)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({vec_expr}, "
+        f"{_sql_vec(lit)}::DOUBLE[]), p -> p[1]::DOUBLE * p[2]), 'sum')"
+    )
+
+
+def _sql_sig(planes) -> str:
+    """LSH sign-bit signature of ``embedding`` vs literal planes."""
+    return " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -511,6 +643,98 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
             FROM scored
             QUALIFY rank <= 20""",
+        "ivf_assign": f"""
+            WITH d AS (
+              SELECT vec_id,
+                {", ".join(
+                    f"list_aggregate(list_transform(list_zip(embedding, "
+                    f"{_sql_vec(c)}::DOUBLE[]), "
+                    f"p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])), "
+                    f"'sum') AS d{i}"
+                    for i, c in enumerate(CENTROIDS)
+                )}
+              FROM embeddings
+            )
+            SELECT vec_id,
+              CASE {" ".join(
+                  f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                  for i in range(len(CENTROIDS))
+              )} END AS centroid_id
+            FROM d""",
+        "ann_lsh_topk": f"""
+            WITH sig AS (
+              SELECT vec_id, embedding, {_sql_sig(ANN_PLANES)} AS sig
+              FROM embeddings
+            ),
+            cand AS (
+              SELECT * FROM sig
+              WHERE sig IN (
+                {", ".join(str(p) for p in _query_probes(ANN_PLANES))})
+            ),
+            scored AS (
+              SELECT vec_id,
+                {_sql_dot('embedding', QVEC)}
+                / (greatest(sqrt(list_aggregate(list_transform(embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)
+                   * sqrt(list_aggregate(list_transform({_sql_vec(QVEC)}::DOUBLE[],
+                        e -> e * e), 'sum'))) AS cos_sim
+              FROM cand
+            )
+            SELECT vec_id, round(cos_sim, 6) AS cos_sim_r,
+                   row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+            QUALIFY rank <= 10""",
+        "embedding_neardup": f"""
+            WITH sig AS (
+              SELECT vec_id,
+                {", ".join(
+                    " + ".join(
+                        f"(CASE WHEN {_sql_dot('embedding', PLANES[b * 4 + i])}"
+                        f" >= 0 THEN {1 << i} ELSE 0 END)"
+                        for i in range(4)
+                    ) + f" AS b{b}"
+                    for b in range(4)
+                )}
+              FROM embeddings
+            ),
+            banded AS (
+              {" UNION ALL ".join(
+                  f"SELECT vec_id, {b} AS band, b{b} AS val FROM sig"
+                  for b in range(4)
+              )}
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+            ),
+            scored AS (
+              SELECT id_a, id_b,
+                list_aggregate(list_transform(list_zip(ea.embedding,
+                    eb.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')
+                / (greatest(sqrt(list_aggregate(list_transform(ea.embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)
+                   * greatest(sqrt(list_aggregate(list_transform(eb.embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)) AS cos_sim
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = id_a
+              JOIN embeddings eb ON eb.vec_id = id_b
+            )
+            SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim_r
+            FROM scored WHERE cos_sim >= 0.4""",
+        "simhash_neardup": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS tt FROM t),
+            th AS (SELECT doc_id,
+                   ('0x' || substring(md5(tt), 1, 15))::BIGINT AS th FROM tok),
+            agg AS (SELECT doc_id, {{simhash_bits}} FROM th GROUP BY doc_id),
+            sh2 AS (SELECT doc_id, {{simhash_sum}} AS simhash FROM agg)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+            FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".replace(
+            "{simhash_bits}", simhash_bits
+        ).replace("{simhash_sum}", simhash_sum),
         "pip_lattice": """
             SELECT vec_id AS point_id,
                    (floor((vec_id % 16) * 0.5 + 0.25)

@@ -68,9 +68,9 @@ def lsh_signature_col(vec_col: str, planes: np.ndarray):
     """Sign-bit signature as a long column (random hyperplane LSH)."""
     sig = None
     for i, plane in enumerate(planes):
-        bit = F.when(_dot_lit(vec_col, plane.tolist()) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            _dot_lit(vec_col, list(plane)) >= 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig + term
     return sig
@@ -113,6 +113,84 @@ def lsh_topk(
             probes.add(base ^ (1 << i))
     cand = bucketed.where(F.col("sig").isin(list(probes)))
     return cosine_topk(cand, query, k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    planes: Sequence[Sequence[float]],
+    n_bands: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded.
+
+    Scale path: the hyperplane sign signature is split into ``n_bands``
+    bands; only pairs sharing at least one band value are compared (one
+    equi-join on (band, value) instead of an O(n^2) cross join), then the
+    survivors are refined with the exact cosine (>= threshold). The banding
+    is part of the operator's contract (deterministic given ``planes``), so
+    results are exactly reproducible by any engine that replays it.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    planes = [list(map(float, p)) for p in planes]
+    n_planes = len(planes)
+    assert n_planes % n_bands == 0
+    r = n_planes // n_bands
+    sig_bits = [
+        F.when(_dot_lit(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    band_vals = [
+        sum(
+            (sig_bits[b * r + i] * F.lit(1 << i) for i in range(1, r)),
+            start=sig_bits[b * r],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    base = embeddings.select(F.col(id_col), F.col(vec_col), *band_vals)
+    banded = base.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("val")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, vec_col, "bv.band", "bv.val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        "band", "val",
+    )
+    pairs = (
+        a.join(b, on=["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (
+        F.greatest(_norm("vec_a"), F.lit(1e-12))
+        * F.greatest(_norm("vec_b"), F.lit(1e-12))
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def ivf_assign(

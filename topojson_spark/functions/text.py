@@ -285,3 +285,61 @@ def simhash(documents: DataFrame) -> DataFrame:
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """SimHash near-duplicate pairs with EXACT recall.
+
+    The 32-bit simhash is split into ``n_bands`` equal bands and candidate
+    pairs are generated by an equi-join on (band, band value) — the scale
+    path (one shuffle on band buckets instead of an O(n^2) cross join).
+    Pigeonhole guarantee: ``max_hamming`` differing bits can touch at most
+    ``max_hamming`` bands, so any pair within the radius shares at least one
+    band whenever ``max_hamming < n_bands`` — banding loses nothing, and a
+    brute-force O(n^2) scan is a *provably equal* oracle. Survivors are
+    refined with the exact popcount of XOR.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    assert max_hamming < n_bands
+    assert 32 % n_bands == 0
+    r = 32 // n_bands
+    sh = simhash(documents)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band", "val",
+    )
+    return (
+        a.join(b, on=["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -153,19 +153,15 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
 
     # per-ldig summary of the feature rows carrying it: the max extract
     # position (all a duplicate group's keep-max can ever need) + ref count
-    line_agg = pin(
-        line_refs.groupBy("ldig").agg(
-            F.max(
-                F.struct("feature_seq", "unit_seq", "ring_seq")
-            ).alias("lmax"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
+    line_agg = line_refs.groupBy("ldig").agg(
+        F.max(
+            F.struct("feature_seq", "unit_seq", "ring_seq")
+        ).alias("lmax"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
 
     # candidate keep position per (part, ldig): (lmax..., split_seq)
-    part_pos = parts_d.select("ldig", "split_seq", "pdig").join(
-        line_agg, on="ldig"
-    )
+    part_pos = parts_d.join(line_agg, on="ldig")
     pos_struct = F.struct(
         F.col("lmax.feature_seq").alias("feature_seq"),
         F.col("lmax.unit_seq").alias("unit_seq"),
@@ -173,35 +169,36 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         F.col("split_seq").alias("split_seq"),
     )
     # the salted hash-shuffle of the north rule — but over O(distinct arcs)
-    # candidates, since the per-feature maxima are already folded into lmax
+    # candidates, since the per-feature maxima are already folded into lmax.
+    # ONE aggregation carries keep-position, ref count AND the kept coords
+    # (max_by on the content key) so no second groupBy / join is needed.
     agg = pin(
         part_pos.groupBy("pdig").agg(
             F.max(pos_struct).alias("kept"),
             F.sum("n_lines").alias("n_refs"),
-        )
-    )
-
-    kept_arcs = (
-        parts_d.groupBy("pdig")
-        .agg(
             F.max_by(
                 "coords", F.struct(F.col("ldig"), F.col("split_seq"))
-            ).alias("coords")
+            ).alias("coords"),
         )
-        .join(agg.select("pdig", "kept"), on="pdig")
-        .select("kept", "coords")
     )
 
-    # shared arcs: referenced more than once after dedup (dedup.py:203-205)
-    shared_by_pdig = agg.select("pdig", (F.col("n_refs") > 1).alias("is_shared"))
+    kept_arcs = agg.select(
+        "kept", "coords", (F.col("n_refs") > 1).alias("is_shared")
+    )
 
     # ---- contiguous merge (incl. the padded-array quirk) ----
     # row-level facts are ldig-level facts: row_len = n parts of the ldig,
-    # shared flags come from the parts' digests
-    part_flags = parts_d.select("ldig", "split_seq", "pdig").join(
-        shared_by_pdig, on="pdig"
+    # shared flags come from the parts' digests; one join fans kept/is_shared
+    # back onto the distinct parts, serving flags, merge input AND pmap
+    part_flags = pin(
+        parts_d.join(
+            agg.select(
+                "pdig", "kept", (F.col("n_refs") > 1).alias("is_shared")
+            ),
+            on="pdig",
+        )
     )
-    len_row = parts_d.groupBy("ldig").agg(
+    len_row = part_flags.groupBy("ldig").agg(
         F.max("split_seq").alias("max_split")
     )
     max_len_row = len_row.agg(F.max("max_split").alias("m")).collect()[0]
@@ -231,9 +228,6 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         merge_in = (
             part_flags.join(eligible, on="ldig")
             .where(~F.col("is_shared"))
-            .join(agg.select("pdig", "kept"), on="pdig")
-            .join(parts_d.select("ldig", "split_seq", "coords"),
-                  on=["ldig", "split_seq"])
             .select("ldig", "split_seq", "kept", "coords")
         )
 
@@ -290,26 +284,23 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
             ]
             return pd.DataFrame(rows, columns=["kept", "action", "new_coords"])
 
+        # no eager count here: an empty merge result (the common case at
+        # scale — shared-arc-heavy corpora have no merge-eligible rows) makes
+        # the pop/override joins below trivially cheap, and skipping the
+        # driver round-trip saves a whole job per pipeline run
         merged = pin(
             merge_in.groupBy("ldig").applyInPandas(merge_row, schema=out_schema)
         )
-        # empty merge result (the common case at scale: shared-arc-heavy
-        # corpora have no merge-eligible rows) -> skip the pop tail
-        if merged.count() == 0:
-            merged = None
-        if merged is not None:
-            popped_merge = merged.where(F.col("action") == "pop").select("kept")
-            merged_coords = merged.where(F.col("action") == "keep").select(
-                "kept", "new_coords"
-            )
+        popped_merge = merged.where(F.col("action") == "pop").select("kept")
+        merged_coords = merged.where(F.col("action") == "keep").select(
+            "kept", "new_coords"
+        )
 
     # ---- apply merge results ----
     # pops only ever remove non-shared (single-ref) arcs, so surviving
     # arcs' ref counts — hence is_shared — are unchanged (the reference
     # recomputes them, dedup.py:299-301; provably identical here)
-    pmap0 = parts_d.select("ldig", "split_seq", "pdig").join(
-        agg.select("pdig", "kept"), on="pdig"
-    )
+    pmap0 = part_flags.select("ldig", "split_seq", "kept")
     if popped_merge is not None:
         kept_arcs = kept_arcs.join(popped_merge, on="kept", how="left_anti")
         kept_arcs = (
@@ -321,25 +312,19 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         )
         pmap0 = pmap0.join(popped_merge, on="kept", how="left_anti")
 
-    # dense ids: only the (small) survivor set is sorted
+    # dense ids: only the (small) survivor set is sorted; is_shared rides
+    # along from the fused aggregation (no re-join against agg)
     kept_flat = kept_arcs.select(
         F.col("kept.feature_seq").alias("_f"),
         F.col("kept.unit_seq").alias("_u"),
         F.col("kept.ring_seq").alias("_r"),
         F.col("kept.split_seq").alias("_s"),
         "kept",
+        "is_shared",
         "coords",
     )
     arcs_final = dense_index(kept_flat, ["_f", "_u", "_r", "_s"], "final_idx")
-    arcs_final = (
-        arcs_final.join(
-            agg.select("kept", (F.col("n_refs") > 1).alias("is_shared")),
-            on="kept",
-            how="left",
-        )
-        .fillna({"is_shared": False})
-        .select("kept", "final_idx", "is_shared", "coords")
-    )
+    arcs_final = arcs_final.select("kept", "final_idx", "is_shared", "coords")
 
     pmap = pin(
         pmap0.join(

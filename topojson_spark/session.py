@@ -30,6 +30,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is byte-based; this workload's shuffle rows are tiny
+        # in bytes but CPU-heavy (Arrow UDF kernels), so the default 1m floor
+        # collapses post-shuffle UDF stages to a handful of tasks. A small
+        # floor keeps coalescing parallelism-first (cpu-bound stages spread
+        # across all cores) while still merging genuinely empty partitions.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
