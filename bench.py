@@ -28,7 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
-GRID = int(os.environ.get("SPARK_GRAFT_BENCH_GRID", "48"))
+# grid ~ sqrt(n_docs): every doc carries DISTINCT geometry so measured
+# docs/sec reflects real per-document work (the engine dedups repeated
+# content early, which would otherwise make throughput look unbounded)
+GRID = int(
+    os.environ.get("SPARK_GRAFT_BENCH_GRID", str(max(int(N_DOCS**0.5), 4)))
+)
+VPE = int(os.environ.get("SPARK_GRAFT_BENCH_VPE", "8"))
 
 
 def main() -> None:
@@ -45,10 +51,13 @@ def main() -> None:
     elif "sf0.001" in SF_DIR:
         sf = 0.001
 
+    # AQE off: fixed per-exchange driver latency dominates at bench sizes
+    # (see session.get_spark docstring); production sessions keep it on
     spark = get_spark(
         "topojson_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 16),
+        aqe=False,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -56,7 +65,9 @@ def main() -> None:
 
     # ---- headline: topology pipeline over the interleaved corpus ----
     t0 = time.time()
-    docs = generate_documents(spark, N_DOCS, grid_w=GRID, grid_h=GRID)
+    docs = generate_documents(
+        spark, N_DOCS, grid_w=GRID, grid_h=GRID, verts_per_edge=VPE
+    )
     topo = Topology(docs, prequantize=False)
     n_arcs = topo.arcs.count()
     topo_sec = time.time() - t0
@@ -70,8 +81,12 @@ def main() -> None:
         "token_count",
         "quality_score",
         "simhash",
+        "simhash_neardup",
         "minhash_lsh_pairs",
         "cosine_topk",
+        "ann_lsh_topk",
+        "ivf_assign",
+        "embedding_neardup",
         "pip_lattice",
         "knn_grid",
         "raster_tiles",

@@ -84,3 +84,36 @@ def test_checkpoint_resume(spark, tmp_path):
     g1 = d1["objects"]["data"]["geometries"]
     g2 = d2["objects"]["data"]["geometries"]
     assert g1 == g2
+
+
+def test_stage_metrics_and_manifest_verify(spark, tmp_path):
+    """North-rule counters + per-partition lineage: observed stage metrics
+    appear after the run's own actions, checkpoints carry manifests, and
+    verify detects a corrupted checkpoint."""
+    from topojson_spark.topology import Topology, read_tables
+
+    docs = generate_documents(spark, 9, 3, 3)
+    t = Topology(docs, prequantize=False)
+    t.arcs.count()  # executes the pipeline -> populates observations
+    m = t.stage_metrics()
+    assert m["extract"]["n_features"] == 9
+    assert m["extract"]["n_invalid"] == 0
+    assert m["extract"]["n_lines"] == 9
+    assert m["arcs"]["n_arcs"] == t.arcs.count()
+    assert 0 < m["arcs"]["n_shared"] < m["arcs"]["n_arcs"]
+
+    path = str(tmp_path / "topo_ckpt_m")
+    t.write_tables(path)
+    t2 = read_tables(spark, path, verify=True)  # clean -> no raise
+    assert t2.arcs.count() == t.arcs.count()
+
+    # corrupt one parquet part of the arcs table -> verify must fail
+    import glob
+    import os
+
+    part = sorted(glob.glob(f"{path}/arcs/part-*.parquet"))[0]
+    os.remove(part)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="manifest"):
+        read_tables(spark, path, verify=True)

@@ -403,3 +403,24 @@ def test_topology_multiple_objects(spark):
     assert set(d["objects"].keys()) == {"one", "two"}
     assert len(d["objects"]["one"]["geometries"]) == 1
     assert d["objects"]["two"]["geometries"][0]["id"] == 0
+
+
+def test_topology_geojson_duplicates_exact_ring(spark):
+    """Port of reference test_topology.py:516-527
+    (test_topology_geojson_duplicates): three polygons where p0 shares one
+    edge with p1 and one with p2; after dedup + stitch the first polygon's
+    ring must come back EXACTLY as the reference emits it."""
+    p0 = {"type": "Polygon", "coordinates": [
+        [[0, 0], [0, 1], [1, 1], [2, 1], [2, 0], [1, 0], [0, 0]]]}
+    p1 = {"type": "Polygon", "coordinates": [
+        [[0, 1], [0, 2], [1, 2], [1, 1], [0, 1]]]}
+    p2 = {"type": "Polygon", "coordinates": [
+        [[1, 0], [2, 0], [2, -1], [1, -1], [1, 0]]]}
+    t = Topology({"abc": p0, "def": p1, "ghi": p2}, spark=spark,
+                 prequantize=False)
+    fc = t.to_geojson()
+    ring = fc["features"][0]["geometry"]["coordinates"][0]
+    assert [[float(x), float(y)] for x, y in ring] == [
+        [0.0, 1.0], [0.0, 0.0], [1.0, 0.0], [2.0, 0.0],
+        [2.0, 1.0], [1.0, 1.0], [0.0, 1.0],
+    ]

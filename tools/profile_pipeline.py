@@ -34,6 +34,7 @@ def main() -> None:
     cpus = int(os.environ.get("CPUS", "32"))
     n_docs = int(os.environ.get("N_DOCS", "20000"))
     grid = int(os.environ.get("GRID", "48"))
+    vpe = int(os.environ.get("VPE", "0"))
     spark = get_spark("profile", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,7 +90,8 @@ def main() -> None:
         print(f"  {name:24s} {wall:8.2f}s{extra}", flush=True)
         return out
 
-    docs = generate_documents(spark, n_docs, grid_w=grid, grid_h=grid)
+    docs = generate_documents(spark, n_docs, grid_w=grid, grid_h=grid,
+                              verts_per_edge=vpe)
     feats_in = features_from_documents(docs, "data")
     lines, points, features = extract(feats_in, opts)
     lines = lines.localCheckpoint(eager=False)

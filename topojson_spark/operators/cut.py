@@ -136,11 +136,17 @@ def cut_stage(
     junctions: Optional[DataFrame],
     shared_coords: bool,
     bbox: Optional[Tuple] = None,
+    cell: Optional[float] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Split lines at junctions; always drops collinear interior vertices
     (cut.py:136-147 does so on every path). Returns (parts, refs)."""
-    lines = lines.select(*_LINE_COLS).withColumn(
-        "ldig", _line_digest("coords", "is_ring")
+    # digest computed ONCE and pinned: both downstream consumers (the
+    # distinct-content reps and the per-feature line_refs) read this frame,
+    # so the sha1 UDF never re-runs per consumer
+    lines = pin(
+        lines.select(*_LINE_COLS).withColumn(
+            "ldig", _line_digest("coords", "is_ring")
+        )
     )
 
     # one representative per distinct line content (coords equal by digest)
@@ -184,7 +190,11 @@ def cut_stage(
         if bbox is None:
             raise ValueError("path-connected cut requires the bbox")
         span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
-        cell = span / 64 if span > 0 else 1.0
+        if cell is None or cell <= 0:
+            cell = span / 64 if span > 0 else 1.0
+        elif span > 0:
+            # same envelope-sized-cell floor as candidate_pairs
+            cell = max(cell, span / 4096)
         from .join import _with_bbox_cells
 
         lcells = _with_bbox_cells(

@@ -291,13 +291,15 @@ UNIFIED_SCHEMA = T.StructType(
 
 
 def extract(
-    features_in: DataFrame, options: TopoOptions
+    features_in: DataFrame, options: TopoOptions, metrics=None
 ) -> tuple:
     """Run the extract stage. Returns (lines, points, features) DataFrames.
 
     ONE mapInPandas parse emits a unified record stream which is
     lineage-truncated and split by record kind — each document's JSON is
     parsed exactly once regardless of how many downstream actions run.
+    ``metrics`` (plans.metrics.StageMetrics) attaches the invalid-geometry
+    counter of extract.py:137-143 plus row counters, at zero extra cost.
     """
     winding = options.winding_order
     ucols = [f.name for f in UNIFIED_SCHEMA.fields]
@@ -321,6 +323,24 @@ def extract(
             yield pd.DataFrame(rows, columns=ucols)
 
     unified = features_in.mapInPandas(emit, schema=UNIFIED_SCHEMA)
+    if metrics is not None and not unified.isStreaming:
+        unified = metrics.observe(
+            "extract",
+            unified,
+            F.sum(F.when(F.col("rec") == "line", 1).otherwise(0)).alias(
+                "n_lines"
+            ),
+            F.sum(F.when(F.col("rec") == "point", 1).otherwise(0)).alias(
+                "n_points"
+            ),
+            F.sum(F.when(F.col("rec") == "feature", 1).otherwise(0)).alias(
+                "n_features"
+            ),
+            F.sum(
+                F.when((F.col("rec") == "feature") & F.col("invalid"), 1)
+                .otherwise(0)
+            ).alias("n_invalid"),
+        )
     if not unified.isStreaming:
         # pin the unified parse so every downstream branch (lines / points /
         # features) reads the parse output instead of re-parsing JSON

@@ -38,8 +38,20 @@ COORDS_T = T.ArrayType(T.ArrayType(T.DoubleType()))
 # ------------------------------------------------------------ bbox
 
 
-def compute_bbox(lines: DataFrame, points: DataFrame) -> Optional[Tuple]:
-    """(minx, miny, maxx, maxy) over all line vertices and points."""
+def compute_bbox_stats(
+    lines: DataFrame, points: DataFrame
+) -> Tuple[Optional[Tuple], Optional[float]]:
+    """One global aggregation returning ((minx, miny, maxx, maxy),
+    cell_hint).
+
+    cell_hint is the mean line-envelope extent (max of width/height means).
+    The grid-cell self-joins (candidate pairs, junction->line assignment)
+    want cells sized like a typical line's envelope: a fixed span/K grid
+    degrades to a quadratic per-cell join once the corpus grows denser than
+    K^2 cells, while envelope-sized cells keep each line on O(1) cells and
+    each cell's occupancy proportional to true local overlap. Same single
+    pass as the bbox (ops.py:417-444 analog) — no extra job.
+    """
     xs = F.expr("transform(coords, c -> c[0])")
     ys = F.expr("transform(coords, c -> c[1])")
     lb = lines.select(
@@ -61,17 +73,28 @@ def compute_bbox(lines: DataFrame, points: DataFrame) -> Optional[Tuple]:
             F.min("miny").alias("miny"),
             F.max("maxx").alias("maxx"),
             F.max("maxy").alias("maxy"),
+            F.avg(F.col("maxx") - F.col("minx")).alias("avg_w"),
+            F.avg(F.col("maxy") - F.col("miny")).alias("avg_h"),
         )
         .collect()[0]
     )
     if row["minx"] is None:
-        return None
-    return (
+        return None, None
+    bbox = (
         float(row["minx"]),
         float(row["miny"]),
         float(row["maxx"]),
         float(row["maxy"]),
     )
+    avg = (float(row["avg_w"] or 0.0), float(row["avg_h"] or 0.0))
+    if max(avg) <= 0:
+        return bbox, None
+    return bbox, avg
+
+
+def compute_bbox(lines: DataFrame, points: DataFrame) -> Optional[Tuple]:
+    """(minx, miny, maxx, maxy) over all line vertices and points."""
+    return compute_bbox_stats(lines, points)[0]
 
 
 # ------------------------------------------------------------ per-line UDFs
@@ -197,6 +220,12 @@ def candidate_pairs(
     if cell is None:
         span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
         cell = span / 64 if span > 0 else 1.0
+    else:
+        # never let envelope-sized cells shatter a tiny-extent corpus into
+        # a huge cell universe relative to the bbox
+        span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
+        if span > 0:
+            cell = max(cell, span / 4096)
     # pair enumeration and dedup run over *ids + envelopes only*; the heavy
     # coordinate arrays are joined in once per surviving pair (shuffle bytes
     # stay proportional to the pair list, not to pair-multiplicity x coords)
@@ -263,7 +292,9 @@ def candidate_pairs(
     return pair_ids.join(coords_a, on="lid_a").join(coords_b, on="lid_b")
 
 
-def junctions_path_connected(lines_with_lid: DataFrame, bbox: Tuple) -> DataFrame:
+def junctions_path_connected(
+    lines_with_lid: DataFrame, bbox: Tuple, cell: Optional[float] = None
+) -> DataFrame:
     """Path-connected junction detection (join.py:200-226).
 
     Candidate pairs -> drop path-equal pairs (shapely ``equals`` analog via
@@ -288,9 +319,9 @@ def junctions_path_connected(lines_with_lid: DataFrame, bbox: Tuple) -> DataFram
         F.min("lid").alias("lid"), F.first("coords").alias("coords")
     )
     # distinct representatives guarantee pdig_a != pdig_b for every pair
-    pairs = candidate_pairs(reps.select("lid", "coords"), bbox).select(
-        "coords_a", "coords_b"
-    )
+    pairs = candidate_pairs(
+        reps.select("lid", "coords"), bbox, cell=cell
+    ).select("coords_a", "coords_b")
 
     out_schema = T.StructType(
         [T.StructField("jx", T.DoubleType()), T.StructField("jy", T.DoubleType())]
@@ -327,19 +358,29 @@ def join_stage(
     points: DataFrame,
     options: TopoOptions,
 ):
-    """Returns (lines, points, bbox, transform, junctions_df_or_None)."""
+    """Returns (lines, points, bbox, transform, junctions_df_or_None,
+    cell_hint). cell_hint is the typical line-envelope extent in the
+    pipeline's working coordinate space (quantized grid units when
+    prequantizing) — consumed by every downstream grid-cell join."""
     if options.presimplify_factor:
         lines = presimplify_lines(
             lines, options.presimplify_factor, options.simplify_algorithm
         )
 
-    bbox = compute_bbox(lines, points)
+    bbox, avg_wh = compute_bbox_stats(lines, points)
     transform = None
+    cell = None
+    if avg_wh is not None:
+        cell = max(avg_wh)
     if bbox is not None and options.quant_factor:
         kx, ky = K.quantize_factors(bbox, options.quant_factor)
         transform = {"scale": [kx, ky], "translate": [bbox[0], bbox[1]]}
         lines = quantize_lines(lines, bbox, options.quant_factor)
         points = quantize_points(points, bbox, options.quant_factor)
+        if avg_wh is not None:
+            cell = max(
+                avg_wh[0] / kx if kx else 0.0, avg_wh[1] / ky if ky else 0.0
+            ) or None
 
     junctions = None
     if options.topology and bbox is not None:
@@ -357,6 +398,6 @@ def join_stage(
                     F.col("feature_seq"), F.col("unit_seq"), F.col("ring_seq")
                 ),
             )
-            junctions = junctions_path_connected(lines_lid, qbbox)
+            junctions = junctions_path_connected(lines_lid, qbbox, cell=cell)
 
-    return lines, points, bbox, transform, junctions
+    return lines, points, bbox, transform, junctions, cell

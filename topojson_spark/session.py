@@ -11,24 +11,37 @@ def get_spark(
     app_name: str = "topojson_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    aqe: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     Defaults chosen for the target workload (many small-ish arc rows, Arrow
     UDF heavy): AQE on (skew-join splitting + partition coalescing), Arrow
     transfer on, broadcast threshold left to AQE runtime stats.
+
+    ``aqe=False`` disables adaptive execution: AQE re-plans the query after
+    EVERY exchange, which costs a fixed chunk of serial driver latency per
+    shuffle stage — measured ~45 s across a full pipeline run at sandbox
+    scale (74 s -> 29 s wall at 4 cores), identical at every parallelism
+    level. At production data volumes that latency is noise and AQE's skew
+    splitting pays for itself; benchmark/latency-sensitive small runs should
+    pass aqe=False (or set SPARK_GRAFT_AQE=false).
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master.startswith("local["):
         master = f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    if aqe is None:
+        aqe = os.environ.get("SPARK_GRAFT_AQE", "true").lower() not in (
+            "0", "false", "no",
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalescing is byte-based; this workload's shuffle rows are tiny
         # in bytes but CPU-heavy (Arrow UDF kernels), so the default 1m floor
@@ -37,6 +50,10 @@ def get_spark(
         # across all cores) while still merging genuinely empty partitions.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # pipeline plan trees get very deep (6 chained stages x pinned
+        # branches); uncapped explain-string generation for execution events
+        # can OOM the driver on plans that execute fine
+        .config("spark.sql.maxPlanStringLength", "100000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -146,8 +146,12 @@ def generate_documents(
     partitions: int | None = None,
     verts_per_edge: int = 0,
 ) -> DataFrame:
-    """Distributed deterministic corpus: one row per document."""
-    parts = partitions or max(2, spark.sparkContext.defaultParallelism)
+    """Distributed deterministic corpus: one row per document.
+
+    Default partitioning is 4x the core count: generation feeds straight
+    into the CPU-heavy extract UDF, and one-partition-per-core stages pay
+    the full straggler cost (the slowest task gates the stage)."""
+    parts = partitions or max(2, 4 * spark.sparkContext.defaultParallelism)
     base = spark.range(0, n_docs, 1, parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -130,19 +130,24 @@ class Topology:
     # ------------------------------------------------------------ pipeline
 
     def _run(self, features_in: DataFrame) -> None:
+        from .plans.metrics import StageMetrics
+
         self._preresolved_objects = None
+        self.metrics = StageMetrics()
         opts = self.options
         # extract lineage-truncates its unified parse internally: each
         # document's JSON is parsed exactly once across all downstream actions
-        lines0, points0, features = extract(features_in, opts)
+        lines0, points0, features = extract(features_in, opts, self.metrics)
         self.features = features
 
-        lines, points, bbox, transform, junctions = join_stage(
+        lines, points, bbox, transform, junctions, cell_hint = join_stage(
             lines0, points0, opts
         )
         self.bbox = bbox
         self.transform = transform
         self.points = points.cache()
+        if junctions is not None:
+            junctions = self.metrics.observe("junctions", junctions)
         self.junctions = junctions.cache() if junctions is not None else None
 
         cut_bbox = bbox
@@ -150,16 +155,32 @@ class Topology:
             q = opts.quant_factor
             cut_bbox = (0.0, 0.0, q - 1, q - 1)
         parts, line_refs = cut_stage(
-            lines, self.junctions, opts.shared_coords, bbox=cut_bbox
+            lines, self.junctions, opts.shared_coords, bbox=cut_bbox,
+            cell=cell_hint,
         )
         # lazy wide view (reference-shaped cut output) for inspection/tests;
         # the scale path below never materializes coords per feature row
         self.arcs_cut = cut_arcs_wide(parts, line_refs)
 
         arcs_final, refs_final, pmap = dedup_stage(parts, line_refs)
+        arcs_final = self.metrics.observe(
+            "arcs",
+            arcs_final,
+            F.count(F.lit(1)).alias("n_arcs"),
+            F.sum(F.col("is_shared").cast("int")).alias("n_shared"),
+        )
         self.arcs = pin(arcs_final)
         self.refs = refs_final  # lazy expanded view (export/tests)
         self.resolved = hashmap_stage(line_refs, pmap, self.arcs, opts).cache()
+
+    def stage_metrics(self) -> dict:
+        """Per-stage counters observed during the run (north rule): keys
+        ``extract`` (n_lines/n_points/n_features/n_invalid), ``junctions``
+        (n_rows), ``arcs`` (n_arcs/n_shared). Metrics appear once the stage
+        has actually executed — piggybacked on the run's own actions, never
+        an extra job."""
+        m = getattr(self, "metrics", None)
+        return m.snapshot() if m is not None else {}
 
     # ------------------------------------------------------------ outputs
 
@@ -410,25 +431,43 @@ class Topology:
     # -------------------------------------------------------- persistence
 
     def write_tables(self, path: str) -> None:
-        """Checkpoint the five output tables (resume path, north rule)."""
-        self.arcs.write.mode("overwrite").parquet(f"{path}/arcs")
-        self.refs.write.mode("overwrite").parquet(f"{path}/refs")
-        self.resolved.write.mode("overwrite").parquet(f"{path}/resolved")
-        self.features.write.mode("overwrite").parquet(f"{path}/features")
-        self.points.write.mode("overwrite").parquet(f"{path}/points")
+        """Checkpoint the five output tables plus per-partition manifests
+        (partition_id, n_rows, content_xor) so a resumed job can verify
+        integrity before trusting a checkpoint (resume path, north rule)."""
+        from .plans.metrics import write_with_manifest
+
+        write_with_manifest(self.arcs, f"{path}/arcs")
+        write_with_manifest(self.refs, f"{path}/refs")
+        write_with_manifest(self.resolved, f"{path}/resolved")
+        write_with_manifest(self.features, f"{path}/features")
+        write_with_manifest(self.points, f"{path}/points")
         meta = {
             "bbox": self.bbox,
             "transform": self.transform,
             "object_name": self.options.object_names(),
+            "stage_metrics": self.stage_metrics(),
         }
         self.spark.createDataFrame(
             [(json.dumps(meta),)], "meta string"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def read_tables(spark: SparkSession, path: str, **kwargs) -> Topology:
+def read_tables(
+    spark: SparkSession, path: str, verify: bool = False, **kwargs
+) -> Topology:
     """Resume a topology from checkpointed tables without recomputation —
-    the analog of re-ingesting a TopoJSON dict (topology.py:127-132)."""
+    the analog of re-ingesting a TopoJSON dict (topology.py:127-132).
+    ``verify=True`` recomputes each table's order-insensitive content hash
+    and compares it against the manifest written at checkpoint time."""
+    if verify:
+        from .plans.metrics import verify_manifest
+
+        for t in ("arcs", "refs", "resolved", "features", "points"):
+            if not verify_manifest(spark, f"{path}/{t}"):
+                raise ValueError(
+                    f"checkpoint table {path}/{t} does not match its "
+                    "written manifest (lost or corrupted partitions)"
+                )
     topo = Topology.__new__(Topology)
     topo.spark = spark
     topo.options = TopoOptions(**kwargs)
