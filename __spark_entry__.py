@@ -146,7 +146,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return topo.arcs.select(
         "final_idx",
         "is_shared",
-        F.size("coords").alias("n_points"),
+        (F.size("coords") / 2).cast("int").alias("n_points"),
     )
 
 
@@ -377,7 +377,8 @@ def q_topology_mosaic(spark, sf_dir):
     docs = generate_documents(spark, n_docs=80, grid_w=8, grid_h=8)
     topo = Topology(docs, prequantize=False)
     return topo.arcs.select(
-        "final_idx", "is_shared", F.size("coords").alias("n_points")
+        "final_idx", "is_shared",
+        (F.size("coords") / 2).cast("int").alias("n_points"),
     )
 
 
@@ -391,7 +392,7 @@ def q_toposimplify(spark, sf_dir):
                               verts_per_edge=4)
     topo = Topology(docs, prequantize=False).toposimplify(0.3)
     return topo.arcs.select(
-        "final_idx", F.size("coords").alias("n_points")
+        "final_idx", (F.size("coords") / 2).cast("int").alias("n_points")
     )
 
 

@@ -105,8 +105,8 @@ def test_extract_winding_normalization(spark):
     opts = TopoOptions(prequantize=False, winding_order="CW_CCW")
     lines, _, _ = extract(features_from_mapping(spark, data, opts), opts)
     by_ring = {r["ring_seq"]: r["coords"] for r in lines.collect()}
-    assert not K.is_ccw(np.array(by_ring[0]))  # exterior -> CW
-    assert K.is_ccw(np.array(by_ring[1]))  # hole -> CCW
+    assert not K.is_ccw(np.array(by_ring[0]).reshape(-1, 2))  # exterior -> CW
+    assert K.is_ccw(np.array(by_ring[1]).reshape(-1, 2))  # hole -> CCW
 
 
 def test_ignore_index_and_featurecollection(spark):

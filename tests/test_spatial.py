@@ -113,10 +113,10 @@ def test_knn_matches_brute_force(spark):
 def test_tiles_assignment(spark):
     arcs = spark.createDataFrame(
         [
-            (0, [[0.5, 0.5], [1.5, 0.5]]),  # crosses tiles (0,0) and (1,0) @z3
-            (1, [[6.5, 6.5], [6.6, 6.6]]),
+            (0, [0.5, 0.5, 1.5, 0.5]),  # crosses tiles (0,0) and (1,0) @z3
+            (1, [6.5, 6.5, 6.6, 6.6]),
         ],
-        "arc_id long, coords array<array<double>>",
+        "arc_id long, coords array<double>",  # flat interleaved
     )
     tiles = assign_arcs_to_tiles(arcs, BBOX, zoom=3)
     got = {

@@ -23,11 +23,25 @@ ON_LINE_TOL = 1e-8
 
 
 def as_np(c) -> np.ndarray:
-    """(k,2) float64 array from an Arrow-batched array<array<double>> cell
-    (ndarray-of-ndarrays or list-of-lists). np.vstack is C-speed on both;
-    the per-point ``[list(p) for p in c]`` idiom is ~10x slower and must not
-    appear in hot UDF loops."""
+    """(k,2) float64 array from a coordinate cell.
+
+    The engine's wire format is FLAT interleaved [x0, y0, x1, y1, ...]
+    (array<double>): Arrow hands it over as one primitive float64 buffer and
+    the reshape is zero-copy — the single biggest lever for keeping the
+    pipeline compute-bound instead of allocation/bandwidth-bound. Nested
+    [[x, y], ...] input (driver-side parity paths, user-facing spatial
+    tables) is still accepted via the vstack fallback."""
+    arr = np.asarray(c)
+    if arr.dtype != object and arr.ndim == 1:
+        return arr.astype(np.float64, copy=False).reshape(-1, 2)
+    if arr.dtype != object and arr.ndim == 2:
+        return arr.astype(np.float64, copy=False)
     return np.vstack(c).astype(np.float64, copy=False)
+
+
+def flat(arr: np.ndarray) -> list:
+    """(k,2) array -> flat interleaved list (the wire format)."""
+    return np.ascontiguousarray(arr, dtype=np.float64).ravel().tolist()
 
 
 # ---------------------------------------------------------------- identity

@@ -42,7 +42,7 @@ PARTS_SCHEMA = T.StructType(
     [
         T.StructField("ldig", T.BinaryType()),
         T.StructField("split_seq", T.IntegerType()),
-        T.StructField("coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("coords", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -56,7 +56,7 @@ ARCS_SCHEMA = T.StructType(
         T.StructField("gtype", T.StringType()),
         T.StructField("is_ring", T.BooleanType()),
         T.StructField("split_seq", T.IntegerType()),
-        T.StructField("coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("coords", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -123,7 +123,7 @@ def _cut_with_splitters(reps_with_split: DataFrame, path_mode: bool) -> DataFram
                             for p in K.fast_split(line, keys, bool(row.is_ring))
                         ]
                 for si, part in enumerate(parts):
-                    out.append((row.ldig, si, part.tolist()))
+                    out.append((row.ldig, si, K.flat(part)))
             yield pd.DataFrame(
                 out, columns=[f.name for f in PARTS_SCHEMA.fields]
             )
@@ -158,7 +158,7 @@ def cut_stage(
     if junctions is None:
         with_split = reps.withColumn(
             "splitters", F.lit(None).cast(T.ArrayType(T.ArrayType(T.DoubleType())))
-        )
+        )  # splitter points stay nested [[x, y], ...]: tiny arrays
         parts = _cut_with_splitters(with_split, path_mode=False)
     elif shared_coords:
         # exact vertex-key equi-join: junction must be an existing vertex
@@ -166,9 +166,10 @@ def cut_stage(
             "ldig",
             F.explode(
                 F.expr(
-                    "transform(coords, c -> struct("
-                    "bigint(round(c[0] * 1e8)) as kx,"
-                    "bigint(round(c[1] * 1e8)) as ky))"
+                    "transform(sequence(0, (size(coords) div 2) - 1), "
+                    "i -> struct("
+                    "bigint(round(coords[2*i] * 1e8)) as kx,"
+                    "bigint(round(coords[2*i + 1] * 1e8)) as ky))"
                 )
             ).alias("v"),
         ).select("ldig", "v.kx", "v.ky").dropDuplicates(["ldig", "kx", "ky"])
@@ -206,8 +207,10 @@ def cut_stage(
             F.floor((F.col("jx") - F.lit(bbox[0])) / F.lit(cell)).alias("cx"),
             F.floor((F.col("jy") - F.lit(bbox[1])) / F.lit(cell)).alias("cy"),
         )
-        xs = F.expr("transform(coords, c -> c[0])")
-        ys = F.expr("transform(coords, c -> c[1])")
+        from .join import _XS, _YS
+
+        xs = F.expr(_XS)
+        ys = F.expr(_YS)
         matched = (
             lcells.join(jcells, on=["cx", "cy"])
             .where(

@@ -243,9 +243,7 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
             [
                 T.StructField("kept", kept_t),
                 T.StructField("action", T.StringType()),
-                T.StructField(
-                    "new_coords", T.ArrayType(T.ArrayType(T.DoubleType()))
-                ),
+                T.StructField("new_coords", T.ArrayType(T.DoubleType())),
             ]
         )
 
@@ -276,7 +274,7 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
 
             member_keys = [keys[m] for m in members]
             keep = max(member_keys, key=key_tuple)
-            rows = [(keep, "keep", chain.tolist())]
+            rows = [(keep, "keep", K.flat(chain))]
             rows += [
                 (k, "pop", None)
                 for k in member_keys

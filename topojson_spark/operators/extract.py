@@ -10,7 +10,7 @@ Outputs three frames (the reference's linestrings/coordinates/bookkeeping
 dict keys become first-class tables — SURVEY.md §1.4):
 
     lines (feature_seq, fkey, object_name, unit_seq, ring_seq,
-           gtype, is_ring, coords array<array<double>>)
+           gtype, is_ring, coords array<double>)  # flat interleaved x,y
     points(feature_seq, fkey, object_name, unit_seq, pt_seq, x, y)
     features(feature_seq, fkey, object_name, template, properties)
 
@@ -57,7 +57,8 @@ LINES_SCHEMA = T.StructType(
         T.StructField("ring_seq", T.IntegerType()),
         T.StructField("gtype", T.StringType()),
         T.StructField("is_ring", T.BooleanType()),
-        T.StructField("coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        # FLAT interleaved [x0, y0, x1, y1, ...] — the engine wire format
+        T.StructField("coords", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -263,7 +264,9 @@ def _parse_batch(
                     ri,
                     gt,
                     is_ring,
-                    [[float(c[0]), float(c[1])] for c in coords],
+                    np.asarray(coords, dtype=np.float64)[:, :2]
+                    .ravel()
+                    .tolist(),
                 )
             )
         for u, ps, x, y in parser.points:

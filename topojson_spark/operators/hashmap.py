@@ -49,10 +49,10 @@ RESOLVED_SCHEMA = T.StructType(
 # segments (reversal negates it); guarded so a degenerate 1-point arc can't
 # produce a descending sequence()
 _SHL_EXPR = (
-    "if(size(coords) >= 2, "
-    "aggregate(sequence(0, size(coords) - 2), cast(0.0 as double), "
-    "(acc, i) -> acc + coords[i][0] * coords[i+1][1] "
-    "- coords[i+1][0] * coords[i][1]), 0.0d)"
+    "if(size(coords) >= 4, "
+    "aggregate(sequence(0, (size(coords) div 2) - 2), cast(0.0 as double), "
+    "(acc, i) -> acc + coords[2*i] * coords[2*i + 3] "
+    "- coords[2*i + 2] * coords[2*i + 1]), 0.0d)"
 )
 
 
@@ -224,10 +224,10 @@ def hashmap_stage(
 
     summary = arcs_final.select(
         F.col("final_idx").alias("_fi"),
-        F.expr("coords[0][0]").alias("_fx"),
-        F.expr("coords[0][1]").alias("_fy"),
-        F.expr("element_at(coords, -1)[0]").alias("_lx"),
-        F.expr("element_at(coords, -1)[1]").alias("_ly"),
+        F.expr("coords[0]").alias("_fx"),
+        F.expr("coords[1]").alias("_fy"),
+        F.expr("element_at(coords, -2)").alias("_lx"),
+        F.expr("element_at(coords, -1)").alias("_ly"),
         F.expr(_SHL_EXPR).alias("_shl"),
     )
 

@@ -32,7 +32,13 @@ from pyspark.sql import types as T
 from ..functions import kernels as K
 from ..options import TopoOptions
 
-COORDS_T = T.ArrayType(T.ArrayType(T.DoubleType()))
+COORDS_T = T.ArrayType(T.DoubleType())  # flat interleaved x,y
+
+# flat-coords SQL helpers: x / y streams of an interleaved coords column
+_XS = ("if(size(coords) >= 2, transform(sequence(0, (size(coords) div 2) - 1), "
+       "i -> coords[2*i]), array())")
+_YS = ("if(size(coords) >= 2, transform(sequence(0, (size(coords) div 2) - 1), "
+       "i -> coords[2*i + 1]), array())")
 
 
 # ------------------------------------------------------------ bbox
@@ -52,8 +58,8 @@ def compute_bbox_stats(
     each cell's occupancy proportional to true local overlap. Same single
     pass as the bbox (ops.py:417-444 analog) — no extra job.
     """
-    xs = F.expr("transform(coords, c -> c[0])")
-    ys = F.expr("transform(coords, c -> c[1])")
+    xs = F.expr(_XS)
+    ys = F.expr(_YS)
     lb = lines.select(
         F.array_min(xs).alias("minx"),
         F.array_min(ys).alias("miny"),
@@ -106,11 +112,9 @@ def presimplify_lines(lines: DataFrame, factor: float, algorithm: str) -> DataFr
     @F.pandas_udf(COORDS_T)
     def simp(coords: pd.Series) -> pd.Series:
         return coords.map(
-            lambda c: K.simplify_coords(
-                K.as_np(c),
-                factor,
-                algorithm,
-            ).tolist()
+            lambda c: K.flat(
+                K.simplify_coords(K.as_np(c), factor, algorithm)
+            )
         )
 
     return lines.withColumn("coords", simp("coords"))
@@ -123,11 +127,9 @@ def quantize_lines(lines: DataFrame, bbox: Tuple, quant_factor: float) -> DataFr
     @F.pandas_udf(COORDS_T)
     def quant(coords: pd.Series) -> pd.Series:
         return coords.map(
-            lambda c: K.quantize_coords(
-                K.as_np(c),
-                bbox,
-                quant_factor,
-            ).astype(np.float64).tolist()
+            lambda c: K.flat(
+                K.quantize_coords(K.as_np(c), bbox, quant_factor)
+            )
         )
 
     return lines.withColumn("coords", quant("coords"))
@@ -158,18 +160,18 @@ def junctions_shared_coords(lines: DataFrame) -> DataFrame:
         F.explode(
             F.expr(
                 """
-                transform(coords, (c, i) -> struct(
-                  bigint(round(c[0] * 1e8)) as kx,
-                  bigint(round(c[1] * 1e8)) as ky,
-                  c[0] as x, c[1] as y,
+                transform(sequence(0, (size(coords) div 2) - 1), i -> struct(
+                  bigint(round(coords[2*i] * 1e8)) as kx,
+                  bigint(round(coords[2*i + 1] * 1e8)) as ky,
+                  coords[2*i] as x, coords[2*i + 1] as y,
                   array_sort(array(
                     struct(
-                      bigint(round(coords[if(i = 0, size(coords) - 1, i - 1)][0] * 1e8)) as nx,
-                      bigint(round(coords[if(i = 0, size(coords) - 1, i - 1)][1] * 1e8)) as ny
+                      bigint(round(coords[2 * if(i = 0, (size(coords) div 2) - 1, i - 1)] * 1e8)) as nx,
+                      bigint(round(coords[2 * if(i = 0, (size(coords) div 2) - 1, i - 1) + 1] * 1e8)) as ny
                     ),
                     struct(
-                      bigint(round(coords[if(i = size(coords) - 1, 0, i + 1)][0] * 1e8)) as nx,
-                      bigint(round(coords[if(i = size(coords) - 1, 0, i + 1)][1] * 1e8)) as ny
+                      bigint(round(coords[2 * if(i = (size(coords) div 2) - 1, 0, i + 1)] * 1e8)) as nx,
+                      bigint(round(coords[2 * if(i = (size(coords) div 2) - 1, 0, i + 1) + 1] * 1e8)) as ny
                     )
                   )) as neigh
                 ))
@@ -196,8 +198,8 @@ def _with_bbox_cells(lines: DataFrame, bbox: Tuple, cell: float) -> DataFrame:
     """Attach exploded envelope cell ids covering each line's bbox."""
     x0, y0 = bbox[0], bbox[1]
     return (
-        lines.withColumn("_xs", F.expr("transform(coords, c -> c[0])"))
-        .withColumn("_ys", F.expr("transform(coords, c -> c[1])"))
+        lines.withColumn("_xs", F.expr(_XS))
+        .withColumn("_ys", F.expr(_YS))
         .withColumn("_cx0", F.floor((F.array_min("_xs") - F.lit(x0)) / F.lit(cell)))
         .withColumn("_cx1", F.floor((F.array_max("_xs") - F.lit(x0)) / F.lit(cell)))
         .withColumn("_cy0", F.floor((F.array_min("_ys") - F.lit(y0)) / F.lit(cell)))
@@ -229,8 +231,8 @@ def candidate_pairs(
     # pair enumeration and dedup run over *ids + envelopes only*; the heavy
     # coordinate arrays are joined in once per surviving pair (shuffle bytes
     # stay proportional to the pair list, not to pair-multiplicity x coords)
-    xs = F.expr("transform(coords, c -> c[0])")
-    ys = F.expr("transform(coords, c -> c[1])")
+    xs = F.expr(_XS)
+    ys = F.expr(_YS)
     env = lines.select(
         "lid",
         F.array_min(xs).alias("x0"),

@@ -34,18 +34,20 @@ def assign_arcs_to_tiles(arcs: DataFrame, bbox: Tuple, zoom: int) -> DataFrame:
     axis-aligned lattice data, conservative otherwise."""
     n, w, h = _tile_bounds_cols(zoom, bbox)
     clamp = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(n - 1))  # noqa: E731
+    # arcs carry FLAT interleaved coords (the engine wire format)
     segs = arcs.select(
         "arc_id",
         F.expr(
-            "explode(transform(slice(coords, 1, size(coords) - 1), "
-            "(c, i) -> struct(c as a, coords[i + 1] as b)))"
+            "explode(transform(sequence(0, (size(coords) div 2) - 2), "
+            "i -> struct(coords[2*i] as ax, coords[2*i + 1] as ay, "
+            "coords[2*i + 2] as bx, coords[2*i + 3] as by)))"
         ).alias("seg"),
     ).select(
         "arc_id",
-        F.least(F.col("seg.a")[0], F.col("seg.b")[0]).alias("x0"),
-        F.greatest(F.col("seg.a")[0], F.col("seg.b")[0]).alias("x1"),
-        F.least(F.col("seg.a")[1], F.col("seg.b")[1]).alias("y0"),
-        F.greatest(F.col("seg.a")[1], F.col("seg.b")[1]).alias("y1"),
+        F.least(F.col("seg.ax"), F.col("seg.bx")).alias("x0"),
+        F.greatest(F.col("seg.ax"), F.col("seg.bx")).alias("x1"),
+        F.least(F.col("seg.ay"), F.col("seg.by")).alias("y0"),
+        F.greatest(F.col("seg.ay"), F.col("seg.by")).alias("y1"),
     )
     tiles = (
         segs.withColumn(

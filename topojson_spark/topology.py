@@ -36,7 +36,7 @@ from .operators.join import join_stage
 from .options import TopoOptions
 from .plans.pin import pin
 
-COORDS_T = T.ArrayType(T.ArrayType(T.DoubleType()))
+COORDS_T = T.ArrayType(T.DoubleType())  # flat interleaved x,y
 
 
 class Topology:
@@ -97,17 +97,17 @@ class Topology:
             coords = np.asarray(arc, dtype=np.float64)
             if self.transform is not None:
                 coords = coords.cumsum(axis=0)  # delta-decode, keep grid ints
-            arcs_rows.append((i, False, coords.tolist()))
+            arcs_rows.append((i, False, K.flat(coords)))
         self.arcs = self.spark.createDataFrame(
             arcs_rows,
-            "final_idx long, is_shared boolean, coords array<array<double>>",
+            "final_idx long, is_shared boolean, coords array<double>",
         )
         if "bbox" in data:
             self.bbox = tuple(data["bbox"])
         elif self.transform is not None and arcs_rows:
             sc, tr = self.transform["scale"], self.transform["translate"]
             all_pts = np.vstack(
-                [np.asarray(a[2]) * np.asarray(sc) + np.asarray(tr)
+                [K.as_np(a[2]) * np.asarray(sc) + np.asarray(tr)
                  for a in arcs_rows]
             )
             self.bbox = (
@@ -361,7 +361,7 @@ class Topology:
                 arr = K.as_np(c)
                 if transform is not None:
                     arr = arr * np.asarray(scale) + np.asarray(translate)
-                return K.simplify_coords(arr, epsilon, algorithm).tolist()
+                return K.flat(K.simplify_coords(arr, epsilon, algorithm))
 
             return coords.map(run)
 
@@ -390,18 +390,18 @@ class Topology:
             @F.pandas_udf(COORDS_T)
             def deq(coords: pd.Series) -> pd.Series:
                 return coords.map(
-                    lambda c: (
-                        K.as_np(c)
-                        * np.asarray(scale)
-                        + np.asarray(translate)
-                    ).tolist()
+                    lambda c: K.flat(
+                        K.as_np(c) * np.asarray(scale) + np.asarray(translate)
+                    )
                 )
 
             arcs = self.arcs.withColumn("coords", deq("coords"))
 
-        # new bbox over dequantized arcs
-        xs = F.expr("transform(coords, c -> c[0])")
-        ys = F.expr("transform(coords, c -> c[1])")
+        # new bbox over dequantized arcs (flat interleaved coords)
+        from .operators.join import _XS, _YS
+
+        xs = F.expr(_XS)
+        ys = F.expr(_YS)
         row = arcs.agg(
             F.min(F.array_min(xs)).alias("x0"),
             F.min(F.array_min(ys)).alias("y0"),
@@ -414,13 +414,9 @@ class Topology:
         @F.pandas_udf(COORDS_T)
         def quant(coords: pd.Series) -> pd.Series:
             return coords.map(
-                lambda c: K.quantize_coords(
-                    K.as_np(c),
-                    bbox,
-                    quant_factor,
+                lambda c: K.flat(
+                    K.quantize_coords(K.as_np(c), bbox, quant_factor)
                 )
-                .astype(np.float64)
-                .tolist()
             )
 
         new.arcs = arcs.withColumn("coords", quant("coords"))
