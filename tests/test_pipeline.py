@@ -424,3 +424,24 @@ def test_topology_geojson_duplicates_exact_ring(spark):
         [0.0, 1.0], [0.0, 0.0], [1.0, 0.0], [2.0, 0.0],
         [2.0, 1.0], [1.0, 1.0], [0.0, 1.0],
     ]
+
+
+def test_svg_and_geo_interface(spark):
+    """to_svg (pure-string SVG, topology.py:169-179 analog) and
+    __geo_interface__ (topology.py:145-149)."""
+    data = {
+        "a": {"type": "Polygon",
+              "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]},
+    }
+    t = Topology(data, spark=spark, prequantize=False)
+    svg = t.to_svg()
+    assert svg.startswith("<svg") and "polyline" in svg
+    per_arc = t.to_svg(separate=True)
+    assert len(per_arc) == 1 and per_arc[0].startswith("<svg")
+    gi = t.__geo_interface__
+    assert gi["type"] == "Topology"
+    import pytest as _pytest
+    with _pytest.raises(ImportError):
+        t.to_gdf()
+    with _pytest.raises(ImportError):
+        t.to_alt()

@@ -78,9 +78,9 @@ def main():
     # polygon, so the pipeline's per-distinct-content work actually grows
     # with the corpus (the engine collapses duplicate geometry early; a
     # small grid would make throughput look infinite and scaling flat)
-    n_docs = int(os.environ.get("N_DOCS", "160000"))
-    grid = int(os.environ.get("GRID", "400"))
-    vpe = int(os.environ.get("VPE", "8"))
+    n_docs = int(os.environ.get("N_DOCS", "320000"))
+    grid = int(os.environ.get("GRID", "566"))
+    vpe = int(os.environ.get("VPE", "32"))
     n_small = int(os.environ.get("N_CORES", "4"))
     n_big = 4 * n_small
     r8 = run(n_small, n_docs, grid, vpe)

@@ -43,6 +43,10 @@ PARTS_SCHEMA = T.StructType(
         T.StructField("ldig", T.BinaryType()),
         T.StructField("split_seq", T.IntegerType()),
         T.StructField("coords", T.ArrayType(T.DoubleType())),
+        # canonical duplicate digest (ops.py:961-971 rules) — computed here,
+        # in the same Arrow pass that produced the part, so the dedup stage
+        # never needs a second coordinate-carrying frame
+        T.StructField("pdig", T.BinaryType()),
     ]
 )
 
@@ -94,6 +98,8 @@ def _cut_with_splitters(reps_with_split: DataFrame, path_mode: bool) -> DataFram
     parts (ldig, split_seq, coords)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sha1 = hashlib.sha1
+        canon = K.canonical_dup_bytes
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
@@ -123,7 +129,10 @@ def _cut_with_splitters(reps_with_split: DataFrame, path_mode: bool) -> DataFram
                             for p in K.fast_split(line, keys, bool(row.is_ring))
                         ]
                 for si, part in enumerate(parts):
-                    out.append((row.ldig, si, K.flat(part)))
+                    out.append(
+                        (row.ldig, si, K.flat(part),
+                         sha1(canon(part)).digest())
+                    )
             yield pd.DataFrame(
                 out, columns=[f.name for f in PARTS_SCHEMA.fields]
             )

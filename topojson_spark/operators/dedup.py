@@ -40,7 +40,6 @@ feature row.
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Tuple
 
 import numpy as np
@@ -141,15 +140,12 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     refs_final  the expanded per-feature-arc view (lazy; tests/export only)
     """
 
-    @F.pandas_udf(T.BinaryType())
-    def dup_digest(coords: pd.Series) -> pd.Series:
-        sha1 = hashlib.sha1
-        canon = K.canonical_dup_bytes
-        as_np = K.as_np
-        return coords.map(lambda c: sha1(canon(as_np(c))).digest())
-
-    # canonical duplicate digest per distinct part (ops.py:961-971 rules)
-    parts_d = pin(parts.withColumn("pdig", dup_digest("coords")))
+    # parts already carries the canonical duplicate digest (computed in the
+    # cut UDF, same Arrow pass as the split). Every aggregation/join below
+    # runs on NARROW (digest, position) tuples — no coordinate array is
+    # shuffled until the single survivor-coords join at the end, which is
+    # what keeps the dedup chain compute-bound instead of bandwidth-bound.
+    parts_n = parts.select("ldig", "split_seq", "pdig")
 
     # per-ldig summary of the feature rows carrying it: the max extract
     # position (all a duplicate group's keep-max can ever need) + ref count
@@ -161,37 +157,44 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     )
 
     # candidate keep position per (part, ldig): (lmax..., split_seq)
-    part_pos = parts_d.join(line_agg, on="ldig")
+    part_pos = parts_n.join(line_agg, on="ldig")
     pos_struct = F.struct(
         F.col("lmax.feature_seq").alias("feature_seq"),
         F.col("lmax.unit_seq").alias("unit_seq"),
         F.col("lmax.ring_seq").alias("ring_seq"),
         F.col("split_seq").alias("split_seq"),
     )
-    # the salted hash-shuffle of the north rule — but over O(distinct arcs)
-    # candidates, since the per-feature maxima are already folded into lmax.
-    # ONE aggregation carries keep-position, ref count AND the kept coords
-    # (max_by on the content key) so no second groupBy / join is needed.
+    # the salted hash-shuffle of the north rule — over O(distinct arcs)
+    # narrow candidates. keep_member records WHICH byte-variant's coords the
+    # reference would keep (max content key); the coords themselves are
+    # joined in once, below, for survivors only.
     agg = pin(
         part_pos.groupBy("pdig").agg(
             F.max(pos_struct).alias("kept"),
             F.sum("n_lines").alias("n_refs"),
-            F.max_by(
-                "coords", F.struct(F.col("ldig"), F.col("split_seq"))
-            ).alias("coords"),
+            F.max(
+                F.struct(F.col("ldig"), F.col("split_seq"))
+            ).alias("keep_member"),
         )
     )
 
-    kept_arcs = agg.select(
-        "kept", "coords", (F.col("n_refs") > 1).alias("is_shared")
+    kept_arcs = (
+        agg.select(
+            "kept",
+            (F.col("n_refs") > 1).alias("is_shared"),
+            F.col("keep_member.ldig").alias("ldig"),
+            F.col("keep_member.split_seq").alias("split_seq"),
+        )
+        .join(parts, on=["ldig", "split_seq"])
+        .select("kept", "coords", "is_shared")
     )
 
     # ---- contiguous merge (incl. the padded-array quirk) ----
     # row-level facts are ldig-level facts: row_len = n parts of the ldig,
-    # shared flags come from the parts' digests; one join fans kept/is_shared
-    # back onto the distinct parts, serving flags, merge input AND pmap
+    # shared flags come from the parts' digests; one narrow join fans
+    # kept/is_shared back onto the distinct parts (flags, merge input, pmap)
     part_flags = pin(
-        parts_d.join(
+        parts_n.join(
             agg.select(
                 "pdig", "kept", (F.col("n_refs") > 1).alias("is_shared")
             ),
@@ -225,9 +228,14 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
             .join(bad_ldigs, on="ldig", how="left_anti")
             .select("ldig")
         )
+        # coords joined in only for the (typically tiny) merge-eligible set
         merge_in = (
             part_flags.join(eligible, on="ldig")
             .where(~F.col("is_shared"))
+            .join(
+                parts.select("ldig", "split_seq", "coords"),
+                on=["ldig", "split_seq"],
+            )
             .select("ldig", "split_seq", "kept", "coords")
         )
 

@@ -74,9 +74,13 @@ def _edge_midpoints(p0, p1, k: int) -> list:
     # unit perpendicular (lattice edges are axis-aligned)
     px, py = -dy, dx
     pts = []
+    # amplitude scales with midpoint spacing so dense edges stay simple
+    # (a fixed +-0.2 made adjacent zigzags cross at k >= ~6, and the
+    # extract stage correctly dropped those rings as self-intersecting)
+    amp = 0.6 / (k + 1)
     for i in range(1, k + 1):
         t = i / (k + 1)
-        off = ((h[i % 32] / 255.0) - 0.5) * 0.4
+        off = ((h[i % 32] / 255.0) - 0.5) * amp
         pts.append([a[0] + dx * t + px * off, a[1] + dy * t + py * off])
     if (p0, p1) != (a, b):
         pts.reverse()

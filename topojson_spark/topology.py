@@ -345,6 +345,86 @@ class Topology:
         return topology_to_geojson(topo, winding_order=winding_order,
                                    decimals=decimals)
 
+    @property
+    def __geo_interface__(self) -> dict:
+        """GeoJSON-protocol view (reference topology.py:145-149)."""
+        return self.to_dict()
+
+    def to_svg(self, separate: bool = False):
+        """Plain-SVG rendering of the arc store (the reference's to_svg,
+        topology.py:169-179 + utils.py:414-465, displays shapely SVG; this
+        engine has no shapely/display dependency, so it returns the SVG
+        document as a string — one polyline path per arc, y-flipped to
+        screen coordinates). ``separate=True`` returns one SVG per arc."""
+        topo = self.to_dict()
+        transform = topo.get("transform")
+        arcs = []
+        for arc in topo["arcs"]:
+            c = np.asarray(arc, dtype=np.float64)
+            if transform is not None:
+                c = K.delta_decode(
+                    c, transform["scale"], transform["translate"]
+                )
+            arcs.append(c)
+        if not arcs:
+            return "<svg xmlns='http://www.w3.org/2000/svg'/>"
+        allpts = np.vstack(arcs)
+        x0, y0 = allpts.min(axis=0)
+        x1, y1 = allpts.max(axis=0)
+        w, h = max(x1 - x0, 1e-12), max(y1 - y0, 1e-12)
+
+        def svg_doc(arc_list):
+            paths = []
+            for c in arc_list:
+                pts = " ".join(
+                    f"{p[0]:.6g},{(y1 - (p[1] - y0)):.6g}" for p in c
+                )
+                paths.append(
+                    f'<polyline points="{pts}" fill="none" '
+                    'stroke="#1f77b4" stroke-width="'
+                    f"{max(w, h) / 200:.6g}" '"/>'
+                )
+            return (
+                "<svg xmlns='http://www.w3.org/2000/svg' "
+                f"viewBox='{x0:.6g} {0:.6g} {w:.6g} {h:.6g}'>"
+                + "".join(paths)
+                + "</svg>"
+            )
+
+        if separate:
+            return [svg_doc([c]) for c in arcs]
+        return svg_doc(arcs)
+
+    def to_gdf(self, crs=None, winding_order: str = "CCW_CW"):
+        """GeoDataFrame export (topology.py:279-317). Requires geopandas;
+        raises ImportError where it isn't installed (this sandbox)."""
+        import geopandas  # noqa: F401  (absent here; gated by design)
+        from shapely.geometry import shape
+
+        fc = self.to_geojson(winding_order=winding_order)
+        gdf = geopandas.GeoDataFrame(
+            {
+                "id": [f["id"] for f in fc["features"]],
+                "geometry": [shape(f["geometry"]) for f in fc["features"]],
+            },
+            crs=crs,
+        )
+        return gdf
+
+    def to_alt(self, color=None):
+        """Altair chart export (topology.py:319-343). Requires altair."""
+        import altair as alt  # noqa: F401  (absent here; gated by design)
+
+        data = alt.InlineData(
+            values=self.to_dict(),
+            format=alt.DataFormat(feature=self.options.object_names()[0],
+                                  type="topojson"),
+        )
+        chart = alt.Chart(data).mark_geoshape(filled=False)
+        if color:
+            chart = chart.encode(color=color)
+        return chart.project(type="identity", reflectY=True)
+
     # -------------------------------------------------------- post-ops
 
     def toposimplify(self, epsilon: float) -> "Topology":
