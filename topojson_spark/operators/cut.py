@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import kernels as K
-from ..plans.pin import pin
+from ..plans.pin import pin, pin_truncate
 
 PARTS_SCHEMA = T.StructType(
     [
@@ -152,7 +152,7 @@ def cut_stage(
     # digest computed ONCE and pinned: both downstream consumers (the
     # distinct-content reps and the per-feature line_refs) read this frame,
     # so the sha1 UDF never re-runs per consumer
-    lines = pin(
+    lines = pin_truncate(
         lines.select(*_LINE_COLS).withColumn(
             "ldig", _line_digest("coords", "is_ring")
         )
@@ -240,7 +240,7 @@ def cut_stage(
     # pin the distinct-arc table: it is read by refs expansion, dedup digest
     # and the kept-coords lookup; without the pin every consumer re-runs the
     # whole digest+splitter+split cascade
-    parts = pin(parts)
+    parts = pin_truncate(parts)
     line_refs = lines.drop("coords")
     return parts, line_refs
 

@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 
 from ..functions import kernels as K
 from ..plans.ids import dense_index
-from ..plans.pin import pin
+from ..plans.pin import pin, pin_truncate
 
 _POS = ["feature_seq", "unit_seq", "ring_seq", "split_seq"]
 
@@ -168,7 +168,7 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     # narrow candidates. keep_member records WHICH byte-variant's coords the
     # reference would keep (max content key); the coords themselves are
     # joined in once, below, for survivors only.
-    agg = pin(
+    agg = pin_truncate(
         part_pos.groupBy("pdig").agg(
             F.max(pos_struct).alias("kept"),
             F.sum("n_lines").alias("n_refs"),
@@ -193,7 +193,7 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     # row-level facts are ldig-level facts: row_len = n parts of the ldig,
     # shared flags come from the parts' digests; one narrow join fans
     # kept/is_shared back onto the distinct parts (flags, merge input, pmap)
-    part_flags = pin(
+    part_flags = pin_truncate(
         parts_n.join(
             agg.select(
                 "pdig", "kept", (F.col("n_refs") > 1).alias("is_shared")
@@ -332,7 +332,7 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     arcs_final = dense_index(kept_flat, ["_f", "_u", "_r", "_s"], "final_idx")
     arcs_final = arcs_final.select("kept", "final_idx", "is_shared", "coords")
 
-    pmap = pin(
+    pmap = pin_truncate(
         pmap0.join(
             arcs_final.select("kept", "final_idx", "is_shared"), on="kept"
         ).select("ldig", "split_seq", "final_idx", "is_shared")

@@ -326,7 +326,17 @@ def extract(
             yield pd.DataFrame(rows, columns=ucols)
 
     unified = features_in.mapInPandas(emit, schema=UNIFIED_SCHEMA)
+    if not unified.isStreaming:
+        # pin + lineage-truncate the unified parse so every downstream
+        # branch (lines / points / features) reads the parse output instead
+        # of re-parsing JSON, and downstream plan analysis stays O(stage)
+        from ..plans.pin import pin_truncate
+
+        unified = pin_truncate(unified)
     if metrics is not None and not unified.isStreaming:
+        # observed AFTER the lineage truncation: a CollectMetrics node below
+        # a checkpoint boundary never publishes (the RDD materialization is
+        # not a SQL execution); above it, the first downstream query reports
         unified = metrics.observe(
             "extract",
             unified,
@@ -344,12 +354,6 @@ def extract(
                 .otherwise(0)
             ).alias("n_invalid"),
         )
-    if not unified.isStreaming:
-        # pin the unified parse so every downstream branch (lines / points /
-        # features) reads the parse output instead of re-parsing JSON
-        from ..plans.pin import pin
-
-        unified = pin(unified)
 
     lines = unified.where(F.col("rec") == "line").select(
         *[f.name for f in LINES_SCHEMA.fields]

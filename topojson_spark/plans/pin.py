@@ -1,11 +1,17 @@
 """Stage-output pinning.
 
-Big intermediate frames are persisted with the SQL columnar cache
-(compressed byte buffers, GC-friendly, spills to disk) rather than
-``localCheckpoint`` — local checkpoints store deserialized Java rows, which
-at 10M+ rows of array<array<double>> turn into multi-GB object graphs and
-GC storms. Lineage stays intact (re-derivable after executor loss, unlike a
-local checkpoint, whose blocks die with the executor)."""
+Two flavors:
+
+- ``pin``: SQL columnar cache (compressed byte buffers, spills to disk).
+  Lineage stays intact — re-derivable after executor loss.
+- ``pin_truncate``: lazy ``localCheckpoint`` — persists AND replaces the
+  logical plan with a LogicalRDD. The topology pipeline chains six stages
+  whose *analysis* cost grows with the accumulated plan (every derived
+  frame re-analyzes the whole tree, and AQE re-plans it per exchange);
+  truncating at the stage boundaries keeps downstream plans O(stage)
+  instead of O(pipeline). Tradeoff: checkpoint blocks are not re-derivable
+  after executor loss — acceptable because durable resume goes through
+  write_tables/read_tables (north rule), not in-memory lineage."""
 
 from __future__ import annotations
 
@@ -16,3 +22,15 @@ from pyspark.sql import DataFrame
 def pin(df: DataFrame) -> DataFrame:
     """Lazily persist a stage output (columnar, memory-then-disk)."""
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+import os
+
+
+def pin_truncate(df: DataFrame) -> DataFrame:
+    """Lazily persist AND truncate logical lineage (stage boundary)."""
+    if os.environ.get("SPARK_GRAFT_NO_TRUNCATE"):
+        return pin(df)
+    return df.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER
+    )

@@ -34,7 +34,7 @@ from .operators.extract import (
 from .operators.hashmap import hashmap_stage
 from .operators.join import join_stage
 from .options import TopoOptions
-from .plans.pin import pin
+from .plans.pin import pin_truncate
 
 COORDS_T = T.ArrayType(T.DoubleType())  # flat interleaved x,y
 
@@ -163,13 +163,14 @@ class Topology:
         self.arcs_cut = cut_arcs_wide(parts, line_refs)
 
         arcs_final, refs_final, pmap = dedup_stage(parts, line_refs)
-        arcs_final = self.metrics.observe(
+        # observe AFTER truncation (a CollectMetrics below the checkpoint
+        # boundary never publishes); the first count/collect reports it
+        self.arcs = self.metrics.observe(
             "arcs",
-            arcs_final,
+            pin_truncate(arcs_final),
             F.count(F.lit(1)).alias("n_arcs"),
             F.sum(F.col("is_shared").cast("int")).alias("n_shared"),
         )
-        self.arcs = pin(arcs_final)
         self.refs = refs_final  # lazy expanded view (export/tests)
         self.resolved = hashmap_stage(line_refs, pmap, self.arcs, opts).cache()
 
