@@ -86,6 +86,28 @@ def test_checkpoint_resume(spark, tmp_path):
     assert g1 == g2
 
 
+def test_stage_metrics_unexecuted_stage_does_not_block(spark):
+    """Observation.get blocks forever on a never-executed frame; the
+    StageMetrics wrapper must probe non-blockingly and return None."""
+    from pyspark.sql import functions as F
+
+    from topojson_spark.plans.metrics import StageMetrics
+
+    sm = StageMetrics()
+    df = spark.range(5)
+    observed = sm.observe("never_run", df, F.count(F.lit(1)).alias("n"))
+    assert sm.get("never_run") is None  # would hang pre-fix
+    assert sm.snapshot() == {}
+    observed.count()
+    # listener delivery is async; poll briefly
+    import time
+
+    deadline = time.time() + 10
+    while sm.get("never_run") is None and time.time() < deadline:
+        time.sleep(0.05)
+    assert sm.get("never_run") == {"n": 5}
+
+
 def test_stage_metrics_and_manifest_verify(spark, tmp_path):
     """North-rule counters + per-partition lineage: observed stage metrics
     appear after the run's own actions, checkpoints carry manifests, and

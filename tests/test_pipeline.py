@@ -439,7 +439,8 @@ def test_svg_and_geo_interface(spark):
     per_arc = t.to_svg(separate=True)
     assert len(per_arc) == 1 and per_arc[0].startswith("<svg")
     gi = t.__geo_interface__
-    assert gi["type"] == "Topology"
+    assert gi["type"] == "FeatureCollection"
+    assert gi["features"][0]["geometry"]["type"] == "Polygon"
     import pytest as _pytest
     with _pytest.raises(ImportError):
         t.to_gdf()

@@ -262,9 +262,12 @@ def ngram_jaccard_pairs(
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """64-bit simhash of token hashes: per bit, sign of sum(+-1).
+    """32-bit simhash of token hashes: per bit, sign of sum(+-1).
     Token hash = md5-based (oracle-reproducible); bit extraction via
-    integer shifts — all codegen."""
+    integer shifts — all codegen. 32 bits (not 64) keeps the whole
+    fingerprint inside a non-negative long so the DuckDB oracle's shift
+    arithmetic matches bit-for-bit; ``simhash_neardup_pairs``'s pigeonhole
+    banding is width-agnostic."""
     tok = (
         documents.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
         .select("doc_id", _md5_64(F.col("t")).alias("th"))

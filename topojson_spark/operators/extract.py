@@ -255,6 +255,18 @@ def _parse_batch(
         if invalid:
             continue
         for u, ri, gt, is_ring, coords in parser.lines:
+            try:
+                flat = (
+                    np.asarray(coords, dtype=np.float64)[:, :2]
+                    .ravel()
+                    .tolist()
+                )
+            except (ValueError, IndexError):
+                # ragged positions mixing 2- and 3-element coords are legal
+                # per RFC 7946 — fall back to per-point extraction
+                flat = [
+                    float(v) for c in coords for v in (c[0], c[1])
+                ]
             lines_rows.append(
                 (
                     row.feature_seq,
@@ -264,9 +276,7 @@ def _parse_batch(
                     ri,
                     gt,
                     is_ring,
-                    np.asarray(coords, dtype=np.float64)[:, :2]
-                    .ravel()
-                    .tolist(),
+                    flat,
                 )
             )
         for u, ps, x, y in parser.points:

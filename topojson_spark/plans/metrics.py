@@ -44,10 +44,26 @@ class StageMetrics:
         obs = self._obs.get(name)
         if obs is None:
             return None
+        # Observation.get BLOCKS until the observed frame's first action, so
+        # a stage that never ran would hang the driver forever. Probe the
+        # JVM-side Option[Row] non-blockingly instead and return None for
+        # unexecuted stages.
         try:
-            return dict(obs.get)
+            jo = obs._jo
+            if jo is None:
+                return None  # observe() registered but plan never built
+            opt = jo.getRowOrEmpty()
+            if opt.isEmpty():
+                return None  # stage not executed (lazy branch never ran)
+            from pyspark.serializers import CPickleSerializer
+
+            utils = getattr(
+                obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+            )
+            row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+            return row.asDict(recursive=False)
         except Exception:
-            return None  # stage not executed (lazy branch never ran)
+            return None
 
     def snapshot(self) -> Dict[str, dict]:
         out = {}

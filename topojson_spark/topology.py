@@ -348,8 +348,12 @@ class Topology:
 
     @property
     def __geo_interface__(self) -> dict:
-        """GeoJSON-protocol view (reference topology.py:145-149)."""
-        return self.to_dict()
+        """GeoJSON-protocol view (reference topology.py:145-149): the
+        protocol is consumed by shapely/geopandas and expects a
+        GeoJSON-shaped mapping, so this returns the stitched
+        FeatureCollection (serialize_as_geojson in the reference), not the
+        Topology dict."""
+        return self.to_geojson()
 
     def to_svg(self, separate: bool = False):
         """Plain-SVG rendering of the arc store (the reference's to_svg,
@@ -387,7 +391,7 @@ class Topology:
                 )
             return (
                 "<svg xmlns='http://www.w3.org/2000/svg' "
-                f"viewBox='{x0:.6g} {0:.6g} {w:.6g} {h:.6g}'>"
+                f"viewBox='{x0:.6g} {y0:.6g} {w:.6g} {h:.6g}'>"
                 + "".join(paths)
                 + "</svg>"
             )
