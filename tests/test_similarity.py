@@ -27,6 +27,17 @@ def test_cosine_topk_matches_numpy(emb):
     assert got[0]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_cosine_topk_plan_is_distributed(emb):
+    """The corpus-wide selection must be TakeOrderedAndProject (distributed
+    per-partition top-k), not a global single-task Window sort; the rank
+    window runs only over the <=k pre-limited rows."""
+    df, vecs = emb
+    plan = S.cosine_topk(df, vecs[0].tolist(), 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the Window must sit ABOVE the take (over k rows), never below it
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_lsh_topk_recovers_self(emb):
     df, vecs = emb
     bucketed = S.lsh_bucket_table(df, dim=16, n_planes=6)

@@ -93,6 +93,40 @@ def test_pip_hole(spark):
     assert got == [0, 2]  # the hole-interior point is excluded
 
 
+def test_pip_single_hot_polygon_splits_refine(spark):
+    """One polygon holding every candidate point: the refine must run in
+    more than one task (cogroup on (poly_id, point-cell bucket)), not one
+    straggler group per polygon — and stay exact."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    pts = [
+        (int(i), float(x), float(y))
+        for i, (x, y) in enumerate(rng.uniform(0, 4, (10_000, 2)))
+    ]
+    points = spark.createDataFrame(pts, "point_id long, x double, y double")
+    # square [1,3]x[1,3] -> exactly the points with 1<=x<=3, 1<=y<=3
+    ring = [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]]
+    polys = spark.createDataFrame(
+        [(7, 0, ring)], "poly_id long, ring_seq int, coords array<array<double>>"
+    )
+    res = point_in_polygon_join(points, polys, (0, 0, 4, 4), level=5)
+    want = sorted(
+        i for i, x, y in pts if 1.0 <= x <= 3.0 and 1.0 <= y <= 3.0
+    )
+    assert sorted(r["point_id"] for r in res.collect()) == want
+    # AQE's byte-based coalescing legitimately merges these tiny test
+    # partitions; disable it to observe the task split the bucketing buys
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_tasks = (
+            res.select(F.spark_partition_id().alias("pid")).distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert n_tasks > 1
+
+
 def test_knn_matches_brute_force(spark):
     rng = np.random.default_rng(11)
     pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 8, (200, 2)))]
@@ -108,6 +142,41 @@ def test_knn_matches_brute_force(spark):
         for r in knn_brute_force(queries, points, 5).collect()
     }
     assert got == want
+
+
+def test_knn_boundary_cluster_exactness(spark):
+    """A true neighbor just OUTSIDE the fixed search window, with the k-th
+    in-window candidate far away (near the window corner): the naive
+    fixed-window cut returns the wrong neighbor; the k-th-distance guard
+    must detect the unproven bound and fall back to the exact pass."""
+    bbox = (0.0, 0.0, 1.0, 1.0)  # level=3 -> cell 0.125, max_rings=1 -> R=0.125
+    points = spark.createDataFrame(
+        [
+            (0, 0.07, 0.06),  # dist 0.01, in window
+            (1, 0.24, 0.24),  # dist ~0.2546, in window (corner)
+            (2, 0.26, 0.06),  # dist 0.20, OUTSIDE the 1-ring window
+        ],
+        "point_id long, x double, y double",
+    )
+    queries = spark.createDataFrame([(0, 0.06, 0.06)], "qid long, x double, y double")
+    got = {
+        r["rank"]: r["point_id"]
+        for r in knn_join(queries, points, 2, bbox, level=3, max_rings=1).collect()
+    }
+    assert got == {1: 0, 2: 2}  # rank-2 must be the out-of-window point
+
+
+def test_knn_sparse_returns_all_points(spark):
+    """Dataset smaller than k: every point must come back (the fixed-window
+    pass alone silently returns <k rows for sparse regions)."""
+    bbox = (0.0, 0.0, 1.0, 1.0)
+    points = spark.createDataFrame(
+        [(0, 0.05, 0.05), (1, 0.9, 0.9)], "point_id long, x double, y double"
+    )
+    queries = spark.createDataFrame([(0, 0.06, 0.06)], "qid long, x double, y double")
+    rows = knn_join(queries, points, 5, bbox, level=3, max_rings=1).collect()
+    assert sorted(r["point_id"] for r in rows) == [0, 1]
+    assert sorted(r["rank"] for r in rows) == [1, 2]
 
 
 def test_tiles_assignment(spark):

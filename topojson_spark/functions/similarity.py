@@ -42,7 +42,13 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against one query vector: (id, cos_sim, rank)."""
+    """Exact cosine top-k against one query vector: (id, cos_sim, rank).
+
+    Scale path: the corpus-wide selection is ``orderBy().limit(k)`` —
+    physical TakeOrderedAndProject, a per-partition top-k merged on the
+    driver side, fully distributed. Rank is attached afterwards with a
+    window over the <=k surviving rows only; a global window over the
+    scored corpus would funnel every row through ONE task."""
     qn = float(np.linalg.norm(np.asarray(query, dtype=np.float64))) or 1.0
     scored = embeddings.select(
         F.col(id_col),
@@ -51,10 +57,10 @@ def cosine_topk(
             / (F.greatest(_norm(vec_col), F.lit(1e-12)) * F.lit(qn))
         ).alias("cos_sim"),
     )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "cos_sim", "rank")
     )
 
@@ -122,6 +128,7 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = 5000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-banded.
 
@@ -132,7 +139,12 @@ def cosine_neardup_pairs(
     is part of the operator's contract (deterministic given ``planes``), so
     results are exactly reproducible by any engine that replays it.
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    Buckets above ``bucket_cap`` members (a viral duplicate cluster) are
+    deterministically sampled before the self-join so no band bucket goes
+    O(n^2) — see functions.text.cap_bucket_members / hot_buckets.
     """
+    from .text import cap_bucket_members
     planes = [list(map(float, p)) for p in planes]
     n_planes = len(planes)
     assert n_planes % n_bands == 0
@@ -163,6 +175,7 @@ def cosine_neardup_pairs(
             )
         ).alias("bv"),
     ).select(id_col, vec_col, "bv.band", "bv.val")
+    banded = cap_bucket_members(banded, ["band", "val"], id_col, bucket_cap)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         "band", "val",

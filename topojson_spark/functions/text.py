@@ -52,6 +52,57 @@ def tokens_col(col):
     return F.filter(F.split(normalized_text(col), r"\s+"), lambda t: t != "")
 
 
+# ------------------------------------------------------------ bucket caps
+
+
+def cap_bucket_members(
+    banded: DataFrame, key_cols, id_col: str, cap
+) -> DataFrame:
+    """Deterministically keep at most ``cap`` members per LSH bucket.
+
+    A viral near-duplicate cluster (the common case in web corpora) puts n
+    members into one (band, value) bucket and the bucket self-join emits
+    O(n^2) pairs — AQE skew-split divides the *task* but not the pair
+    count. Members are ranked by xxhash64(id) (stable content-independent
+    sampling) and ranks above ``cap`` are excluded from pair generation in
+    that bucket only — a member dropped from one hot bucket still pairs
+    through its other bands, so recall degrades gracefully instead of a
+    stage going quadratic (run exact_dedup FIRST: byte-identical clusters
+    collapse there and never hit the LSH caps). The rank window
+    partitions on the same keys as the pair join (no extra exchange
+    pattern) and a sort is O(n log n) where the pairs were O(n^2).
+    Over-cap buckets are auditable — never silently — via ``hot_buckets``.
+    ``cap=None`` disables.
+    """
+    if cap is None:
+        return banded
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        banded.withColumn("_mrank", F.row_number().over(w))
+        .where(F.col("_mrank") <= cap)
+        .drop("_mrank")
+    )
+
+
+def hot_buckets(banded: DataFrame, key_cols, cap: int) -> DataFrame:
+    """Audit query for ``cap_bucket_members``: one row per over-cap bucket
+    with its member count and the number of pairs the cap dropped
+    (C(n,2) - C(cap,2))."""
+    kept_pairs = cap * (cap - 1) // 2
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > cap)
+        .withColumn(
+            "n_dropped_pairs",
+            (F.col("n_members") * (F.col("n_members") - 1) / 2).cast("long")
+            - F.lit(kept_pairs),
+        )
+    )
+
+
 # ------------------------------------------------------------ simple ops
 
 
@@ -177,10 +228,16 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, n: int = 3, num_hashes: int = 8, bands: int = 4
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    bucket_cap: int = 5000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: band the signature, bucket-join.
-    Returns (doc_a, doc_b, n_bands_hit) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, n_bands_hit) with doc_a < doc_b. Buckets larger
+    than ``bucket_cap`` members are deterministically sampled down before
+    the self-join (see cap_bucket_members)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes)
     # bucket key = the band's signature values themselves (joined as text),
@@ -207,6 +264,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    banded = cap_bucket_members(banded, ["band", "bucket"], "doc_id", bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -226,15 +284,22 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_cap: int = 5000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle sets, pre-filtered by sharing at
     least one shingle (the scalable path pre-filters by LSH instead):
-    (doc_a, doc_b, jaccard)."""
+    (doc_a, doc_b, jaccard). A shingle shared by more than ``shingle_cap``
+    documents is a stopword-like n-gram; its membership is capped before
+    pair expansion (which slightly lowers the computed intersection for
+    capped pairs — at scale, pre-drop such shingles entirely, df-style)."""
     sh = shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    capped = cap_bucket_members(sh, ["shingle_hash"], "doc_id", shingle_cap)
+    a = capped.alias("a")
+    b = capped.alias("b")
     inter = (
         a.join(
             b,
@@ -291,7 +356,10 @@ def simhash(documents: DataFrame) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    documents: DataFrame, max_hamming: int = 6, n_bands: int = 8
+    documents: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    bucket_cap: int = 5000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with EXACT recall.
 
@@ -304,6 +372,11 @@ def simhash_neardup_pairs(
     brute-force O(n^2) scan is a *provably equal* oracle. Survivors are
     refined with the exact popcount of XOR.
     Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Buckets above ``bucket_cap`` members are deterministically sampled
+    before the self-join (cap_bucket_members) — the exact-recall guarantee
+    then holds for pairs whose shared band survived the cap; over-cap
+    buckets are auditable via ``hot_buckets``.
     """
     assert max_hamming < n_bands
     assert 32 % n_bands == 0
@@ -326,6 +399,7 @@ def simhash_neardup_pairs(
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", "bv.band", "bv.val")
+    banded = cap_bucket_members(banded, ["band", "val"], "doc_id", bucket_cap)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
         "band", "val",

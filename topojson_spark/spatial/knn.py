@@ -54,7 +54,25 @@ def knn_join(
     Exact under the ring-bound argument when enough candidates fall within
     ``max_rings``; callers pick level/max_rings so that the expected points
     per cell * rings >= k (at 100 TB: level tuned from table stats).
+
+    The exactness guard: after the fixed-window rank, any query whose k-th
+    candidate distance reaches the window's guaranteed radius
+    ``max_rings * min(cell_w, cell_h)`` — or that found fewer than k
+    candidates at all — might have a true neighbor just outside the
+    window (a point in an unsearched cell is at coordinate gap >=
+    (ring_dist - 1) * cell_size, so everything strictly inside the radius
+    is provably covered). Those queries re-run through the brute-force
+    pass and the two result sets are unioned. The guard stats reuse the
+    rank window's qid partitioning (no extra shuffle); the only added
+    shuffle is a narrow qid anti-join to locate unsatisfied queries,
+    whose population is ~0 when level/max_rings are sized from table
+    stats (expected points-per-window >> k).
     """
+    n = 1 << level
+    cell_w = ((bbox[2] - bbox[0]) or 1.0) / n
+    cell_h = ((bbox[3] - bbox[1]) or 1.0) / n
+    guaranteed = max_rings * min(cell_w, cell_h)
+
     q = _with_grid(queries, "x", "y", bbox, level).select(
         "qid", F.col("x").alias("qx"), F.col("y").alias("qy"), "ix", "iy"
     )
@@ -89,11 +107,27 @@ def knn_join(
     )
 
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("point_id"))
-    return (
+    ranked = (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "point_id", "dist", "rank")
     )
+
+    # exactness guard: per-query candidate count + k-th distance, computed
+    # with windows over the already-qid-partitioned ranked rows (same
+    # exchange as the rank window — no extra shuffle)
+    wq = Window.partitionBy("qid")
+    guarded = ranked.withColumn("n_found", F.count(F.lit(1)).over(wq)).withColumn(
+        "kth_dist", F.max("dist").over(wq)
+    )
+    exact = (F.col("n_found") >= k) & (F.col("kth_dist") < guaranteed)
+    good = guarded.where(exact).select("qid", "point_id", "dist", "rank")
+    ok_qids = guarded.where(exact).select("qid").distinct()
+    # queries with too-few candidates, an unproven k-th distance, or no
+    # candidates at all (absent from `ranked` entirely)
+    unsatisfied = queries.join(ok_qids, on="qid", how="left_anti")
+    fallback = knn_brute_force(unsatisfied, points, k)
+    return good.unionByName(fallback)
 
 
 def knn_brute_force(queries: DataFrame, points: DataFrame, k: int) -> DataFrame:

@@ -76,38 +76,76 @@ def point_in_polygon_join(
     polygons: DataFrame,
     bbox: Tuple,
     level: int = 8,
+    refine_buckets: int = 16,
 ) -> DataFrame:
     """(point_id, poly_id) pairs where the point is inside the polygon
-    (boundary counts as inside)."""
+    (boundary counts as inside).
+
+    Skew design: the exact refine is cogrouped on (poly_id, bucket) where
+    bucket = hash(point cell) % ``refine_buckets`` — the winding test is
+    per-point independent, so a continent-sized polygon's candidate set
+    splits across up to ``refine_buckets`` tasks instead of ONE. Ring
+    coordinates travel on the cogroup's right side, replicated only to the
+    (poly_id, bucket) pairs that actually hold candidates (a narrow
+    distinct + equi-join), never once per candidate row — shuffle bytes are
+    points + rings x live_buckets, not points x rings."""
     pcell = points.withColumn(
         "cell", C.cell_col(F.col("x"), F.col("y"), bbox, level)
     ).select("point_id", "x", "y", "cell")
 
     poly_cells = _polygon_cells(polygons, bbox, level)
-    cand = pcell.join(poly_cells, on="cell").select("point_id", "x", "y", "poly_id")
-    # candidates joined back to full ring geometry, grouped per polygon
-    cand_geo = cand.join(
-        polygons.select("poly_id", "ring_seq", "coords"), on="poly_id"
+    cand = (
+        pcell.join(poly_cells, on="cell")
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("cell"), F.lit(refine_buckets)).cast("int"),
+        )
+        .select("point_id", "x", "y", "poly_id", "bucket")
+    )
+    # replicate each polygon's rings only to the refine buckets that exist;
+    # fresh aliases give the cogroup's right side distinct attribute ids
+    # (cand and rings_rep would otherwise share lineage -> ambiguous-column)
+    live = cand.select(
+        F.col("poly_id").alias("rpoly_id"), F.col("bucket").alias("rbucket")
+    ).distinct()
+    rings_rep = (
+        polygons.select("poly_id", "ring_seq", "coords")
+        .toDF("poly_id", "ring_seq", "coords")  # fresh attribute ids
+        .join(live, on=F.col("poly_id") == F.col("rpoly_id"))
+        .select(
+            "poly_id",
+            F.col("rbucket").alias("bucket"),
+            "ring_seq",
+            "coords",
+        )
     )
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        poly_id = int(pdf["poly_id"].iloc[0])
-        rings = (
-            pdf[["ring_seq", "coords"]]
+    def refine(pts: pd.DataFrame, rings: pd.DataFrame) -> pd.DataFrame:
+        if pts.empty or rings.empty:
+            return pd.DataFrame({"point_id": [], "poly_id": []}).astype(
+                {"point_id": "int64", "poly_id": "int64"}
+            )
+        poly_id = int(pts["poly_id"].iloc[0])
+        rr = (
+            rings[["ring_seq", "coords"]]
             .drop_duplicates(subset=["ring_seq"])
             .sort_values("ring_seq")
         )
-        pts = pdf[["point_id", "x", "y"]].drop_duplicates(subset=["point_id"])
-        xy = pts[["x", "y"]].to_numpy(dtype=np.float64)
+        pp = pts[["point_id", "x", "y"]].drop_duplicates(subset=["point_id"])
+        xy = pp[["x", "y"]].to_numpy(dtype=np.float64)
         inside = None
-        for _, rrow in rings.iterrows():
+        for _, rrow in rr.iterrows():
             ring = K.as_np(rrow["coords"])
             mask = K.points_in_ring(xy, ring)
             if rrow["ring_seq"] == 0:
                 inside = mask
             else:
                 inside = inside & ~mask  # holes punch out
-        hit = pts["point_id"].to_numpy()[inside]
+        hit = pp["point_id"].to_numpy()[inside]
         return pd.DataFrame({"point_id": hit, "poly_id": poly_id})
 
-    return cand_geo.groupBy("poly_id").applyInPandas(refine, schema=RESULT_SCHEMA)
+    return (
+        cand.groupBy("poly_id", "bucket")
+        .cogroup(rings_rep.groupBy("poly_id", "bucket"))
+        .applyInPandas(lambda left, right: refine(left, right), schema=RESULT_SCHEMA)
+    )
