@@ -396,9 +396,18 @@ def q_toposimplify(spark, sf_dir):
     )
 
 
+VECTOR_TILES_SEGS = "/tmp/spark_graft_oracle/vector_tiles_segs.parquet"
+
+
 def q_vector_tiles(spark, sf_dir):
-    """Raster<->vector tile assignment over the deduplicated arc store
-    (rows-only: geometry op; semantics pinned by tests/test_spatial.py)."""
+    """Raster<->vector tile assignment over the deduplicated arc store.
+
+    Oracle design: the arc SEGMENTS (arc_id, per-segment bbox) are written
+    to a side parquet; the DuckDB oracle independently recomputes the
+    segment -> tile cover (clamped floor grid math + tile-range expansion)
+    and the per-tile distinct-arc counts from those raw segments — the tile
+    assignment and aggregation logic is fully cross-checked, only the arc
+    store itself is pinned by tests/test_pipeline.py instead."""
     from topojson_spark.sources.corpus import generate_documents
     from topojson_spark.spatial.tiles import assign_arcs_to_tiles
     from topojson_spark.topology import Topology
@@ -406,6 +415,17 @@ def q_vector_tiles(spark, sf_dir):
     docs = generate_documents(spark, n_docs=80, grid_w=8, grid_h=8)
     topo = Topology(docs, prequantize=False)
     arcs = topo.arcs.select(F.col("final_idx").alias("arc_id"), "coords")
+    segs = arcs.select(
+        "arc_id",
+        F.expr(
+            "explode(transform(sequence(0, (size(coords) div 2) - 2), "
+            "i -> struct(least(coords[2*i], coords[2*i + 2]) as sx0, "
+            "least(coords[2*i + 1], coords[2*i + 3]) as sy0, "
+            "greatest(coords[2*i], coords[2*i + 2]) as sx1, "
+            "greatest(coords[2*i + 1], coords[2*i + 3]) as sy1)))"
+        ).alias("s"),
+    ).select("arc_id", "s.sx0", "s.sy0", "s.sx1", "s.sy1")
+    segs.write.mode("overwrite").parquet(VECTOR_TILES_SEGS)
     out = assign_arcs_to_tiles(arcs, (0.0, 0.0, 8.0, 8.0), zoom=2)
     return out.groupBy("tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n_arcs")
@@ -413,18 +433,58 @@ def q_vector_tiles(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only; decode is a deterministic stub)."""
+    """Multimodal plumbing: decode-stub features + a payload digest the
+    DuckDB oracle can recompute (synth payloads are sha256-derived, so the
+    oracle rebuilds the hex payload and hashes it VARCHAR-side)."""
     from topojson_spark.functions.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 64)
-    return extract_features(media).select("media_id", "payload_sha1")
+    feats = extract_features(media).select(
+        "media_id", F.size("feat").alias("n_feat")
+    )
+    digests = media.select(
+        "media_id", F.sha2(F.hex(F.col("payload")), 256).alias("payload_digest")
+    )
+    return feats.join(digests, on="media_id").select(
+        "media_id", "n_feat", "payload_digest"
+    )
 
 
 def q_span_roundtrip(spark, sf_dir):
-    """Span-sequence invariant: corpus -> flat span manifest (rows-only)."""
-    from topojson_spark.sources.corpus import generate_documents, span_manifest
+    """Span-sequence invariant over the interleaved shape of input_hint:
+    documents are re-shaped into (kind, text, media_ref, offset) span
+    arrays — every 4th span a media ref, the rest 8-word text chunks —
+    and flattened through span_manifest. The DuckDB oracle rebuilds the
+    exact same manifest from the raw documents table, checking the
+    interleave, ordering and offsets end-to-end."""
+    from topojson_spark.sources.corpus import span_manifest
 
-    docs = generate_documents(spark, n_docs=100, grid_w=8, grid_h=8)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split(F.col("text"), " ").alias("words"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                transform(
+                  sequence(0, cast(ceil(size(words) / 8.0) as int) - 1),
+                  k -> struct(
+                    if(k % 4 = 3, 'media', 'text') as kind,
+                    if(k % 4 = 3, cast(null as string),
+                       array_join(slice(words, k * 8 + 1, 8), ' ')) as text,
+                    if(k % 4 = 3, concat('m_', doc_id, '_', cast(k as string)),
+                       cast(null as string)) as media_ref,
+                    cast(k * 8 as int) as offset
+                  )
+                )
+                """
+            ).alias("spans"),
+        )
+    )
     return span_manifest(spark, docs)
 
 
@@ -775,7 +835,57 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY dist, point_id) AS rank
             FROM cand
             QUALIFY rank <= 5""",
-        # topology_mosaic / media_features / span_roundtrip: rows-only
-        # (geometry + binary ops; covered by tests/test_pipeline.py,
-        #  tests/test_spatial.py, tests/test_text.py)
+        "vector_tiles": f"""
+            WITH t AS (
+              SELECT arc_id,
+                least(greatest(cast(floor(sx0 / 8.0 * 4) as bigint), 0), 3) AS tx0,
+                least(greatest(cast(floor(sx1 / 8.0 * 4) as bigint), 0), 3) AS tx1,
+                least(greatest(cast(floor(sy0 / 8.0 * 4) as bigint), 0), 3) AS ty0,
+                least(greatest(cast(floor(sy1 / 8.0 * 4) as bigint), 0), 3) AS ty1
+              FROM '{VECTOR_TILES_SEGS}/*.parquet'
+            ),
+            cx AS (
+              SELECT arc_id, unnest(range(tx0, tx1 + 1)) AS tile_x, ty0, ty1
+              FROM t
+            ),
+            cy AS (
+              SELECT arc_id, tile_x, unnest(range(ty0, ty1 + 1)) AS tile_y
+              FROM cx
+            ),
+            cover AS (SELECT DISTINCT arc_id, tile_x, tile_y FROM cy)
+            SELECT tile_x, tile_y, count(*) AS n_arcs
+            FROM cover GROUP BY 1, 2""",
+        "media_features": """
+            WITH ids AS (SELECT unnest(range(64)) AS i)
+            SELECT 'image_' || lpad(cast(i as varchar), 6, '0') AS media_id,
+                   64 AS n_feat,
+                   sha256(upper(repeat(sha256('42:image:' || i), 4)))
+                     AS payload_digest
+            FROM ids""",
+        "span_roundtrip": """
+            WITH base AS (
+              SELECT cast(doc_id as varchar) AS doc_id,
+                     string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 200
+            ),
+            chunks AS (
+              SELECT doc_id, words,
+                     unnest(range(cast(ceil(len(words) / 8.0) as bigint)))
+                       AS k
+              FROM base
+            )
+            SELECT doc_id,
+                   cast(k as int) AS span_ix,
+                   CASE WHEN k % 4 = 3 THEN 'media' ELSE 'text' END AS kind,
+                   CASE WHEN k % 4 = 3 THEN NULL
+                        ELSE array_to_string(words[k*8 + 1 : k*8 + 8], ' ')
+                   END AS text,
+                   CASE WHEN k % 4 = 3
+                        THEN 'm_' || doc_id || '_' || cast(k as varchar)
+                        ELSE NULL END AS media_ref,
+                   cast(k * 8 as int) AS "offset"
+            FROM chunks""",
+        # topology_mosaic / toposimplify_arcs: rows-only (full-pipeline /
+        # simplification geometry; semantics pinned by tests/test_pipeline.py
+        # and tests/test_postops.py — not SQL-expressible non-circularly)
     }

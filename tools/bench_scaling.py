@@ -25,8 +25,7 @@ from topojson_spark.topology import Topology
 
 cpus = int(os.environ["CPUS"])
 n_docs = int(os.environ["N_DOCS"])
-grid = int(os.environ["GRID"])
-vpe = int(os.environ["VPE"])
+path = os.environ["CORPUS_PATH"]
 # AQE off: its per-exchange re-planning is a fixed ~45s of serial driver
 # latency at this data size, identical at both parallelism levels — it
 # would swamp the ratio being measured (see session.get_spark docstring)
@@ -36,8 +35,12 @@ spark.sparkContext.setLogLevel("ERROR")
 # warm the JVM/Arrow path so fixed startup cost doesn't pollute the ratio
 warm = generate_documents(spark, 200, grid_w=8, grid_h=8)
 Topology(warm, prequantize=False).arcs.count()
+# the north-rule job shape: the corpus is a pre-existing TABLE of
+# interleaved documents (BASELINE.json input_hint), read from storage —
+# the Python doc *generator* is test scaffolding, not part of the engine,
+# so it runs outside the timed region (once, shared by every level)
 t0 = time.time()
-docs = generate_documents(spark, n_docs, grid_w=grid, grid_h=grid, verts_per_edge=vpe)
+docs = spark.read.parquet(path)
 topo = Topology(docs, prequantize=False)
 n_arcs = topo.arcs.count()
 dt = time.time() - t0
@@ -46,9 +49,28 @@ print(json.dumps({{"cpus": cpus, "sec": dt, "docs_per_sec": n_docs / dt,
 """
 
 
+def ensure_corpus(n_docs: int, grid: int, vpe: int) -> str:
+    path = os.environ.get(
+        "CORPUS_PATH", f"/tmp/bench_corpus_{n_docs}_{grid}_{vpe}"
+    )
+    if not os.path.exists(path):
+        gen = (
+            "import sys; sys.path.insert(0, %r); "
+            "from topojson_spark.session import get_spark; "
+            "from topojson_spark.sources.corpus import generate_documents; "
+            "spark = get_spark('gen', master='local[32]'); "
+            "spark.sparkContext.setLogLevel('ERROR'); "
+            "generate_documents(spark, %d, grid_w=%d, grid_h=%d, "
+            "verts_per_edge=%d).write.mode('overwrite').parquet(%r)"
+            % (REPO, n_docs, grid, grid, vpe, path)
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True)
+    return path
+
+
 def run_once(cpus: int, n_docs: int, grid: int, vpe: int) -> dict:
     env = dict(os.environ, CPUS=str(cpus), N_DOCS=str(n_docs),
-               GRID=str(grid), VPE=str(vpe))
+               CORPUS_PATH=ensure_corpus(n_docs, grid, vpe))
     # taskset pins the whole JVM + python-worker tree to exactly `cpus`
     # physical cores: local[N] alone lets Python UDF workers spill onto the
     # other cores, which silently inflates the small-N throughput
@@ -100,13 +122,17 @@ def main():
         f.write(
             "# BENCH/BASELINE — two-parallelism scaling evidence "
             "(north rule protocol)\n\n"
-            "Same topology job (extract->join->cut->dedup->hashmap over the\n"
-            "deterministic interleaved corpus, "
+            "Same topology job (parquet documents table -> "
+            "extract->join->cut->dedup->hashmap,\n"
             f"{n_docs} docs, {grid}x{grid} mosaic, verts_per_edge={vpe};\n"
             "every document carries distinct geometry so work scales with "
             "documents),\nsame input at every parallelism level, fresh JVM "
             "+ taskset pinning each, best of "
             f"{int(os.environ.get('REPEATS', '2'))} runs.\n"
+            "The corpus is pre-written to parquet OUTSIDE the timed region: "
+            "the north-rule\njob reads an existing table of interleaved "
+            "documents (BASELINE.json input_hint);\nthe synthetic doc "
+            "generator is scaffolding, not engine.\n"
             "AQE is disabled for this job: its per-exchange driver re-plan "
             "is a fixed ~45s of serial\nlatency at sandbox data sizes, "
             "identical at every parallelism level (see\n"

@@ -101,7 +101,7 @@ def main() -> None:
     lines_lid = lines.withColumn(
         "lid", F.xxhash64("feature_seq", "unit_seq", "ring_seq"))
     if os.environ.get("PROFILE_PAIRS"):
-        pairs = candidate_pairs(lines_lid.select("lid", "coords"), bbox)
+        pairs = candidate_pairs(lines_lid.select("lid", "coords", "x0", "y0", "x1", "y1"), bbox)
         tick("candidate_pairs(count)", lambda: pairs.count())
 
     junctions = junctions_path_connected(lines_lid, bbox)

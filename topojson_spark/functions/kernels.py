@@ -330,29 +330,21 @@ def normalize_path(coords: np.ndarray) -> bytes:
 # ---------------------------------------------------------------- overlaps
 
 
-def line_pair_shared_segments(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Collinear overlapping pieces between two polylines.
+def _overlap_quadratic(p, r, q, s) -> list:
+    """All-pairs collinear-overlap pieces between two segment sets.
 
-    Replaces ``geom1.intersection(geom2)`` + ``linemerge_ext`` + ``explode``
-    of the path-connected junction mode (join.py:213-217): shapely's
-    line ∩ line produces line parts exactly where segments overlap
-    collinearly (point crossings are dropped by extract_lines,
-    ops.py:136-159), so only those pieces are computed here.
-
-    Returns an (n, 4) array of overlap segments [x1, y1, x2, y2], unmerged.
-    """
-    a = np.asarray(a, dtype=np.float64)
-    b = np.asarray(b, dtype=np.float64)
-    p, r = a[:-1], a[1:] - a[:-1]  # (n,2)
-    q, s = b[:-1], b[1:] - b[:-1]  # (m,2)
-
+    ``p``/``r`` are (n,2) starts and direction vectors, ``q``/``s`` (m,2).
+    Returns a list of [x1, y1, x2, y2] pieces. O(n*m) — callers keep n or m
+    small (line_pair_shared_segments routes only key-unmatched residues
+    here)."""
+    if len(p) == 0 or len(q) == 0:
+        return []
     cross_rs = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
     qp = q[None, :, :] - p[:, None, :]
     cross_qp_r = qp[:, :, 0] * r[:, None, 1] - qp[:, :, 1] * r[:, None, 0]
-    parallel = cross_rs == 0
-    collinear = parallel & (cross_qp_r == 0)
+    collinear = (cross_rs == 0) & (cross_qp_r == 0)
     if not collinear.any():
-        return np.empty((0, 4))
+        return []
 
     rr = np.einsum("ij,ij->i", r, r)  # (n,)
     out = []
@@ -376,6 +368,74 @@ def line_pair_shared_segments(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         seg0 = p[i] if t0 <= 0 else blo
         seg1 = p[i] + r[i] if t1 >= 1 else bhi
         out.append([seg0[0], seg0[1], seg1[0], seg1[1]])
+    return out
+
+
+def _undirected_seg_keys(pts: np.ndarray) -> np.ndarray:
+    """32-byte void key per segment: exact float64 bytes of the
+    (lexicographically ordered) endpoint pair, -0.0 normalized."""
+    a = pts[:-1] + 0.0
+    b = pts[1:] + 0.0
+    swap = (b[:, 0] < a[:, 0]) | ((b[:, 0] == a[:, 0]) & (b[:, 1] < a[:, 1]))
+    lo = np.where(swap[:, None], b, a)
+    hi = np.where(swap[:, None], a, b)
+    segs = np.ascontiguousarray(
+        np.concatenate([lo, hi], axis=1), dtype=np.float64
+    )
+    return segs.view(np.dtype((np.void, 32))).ravel()
+
+
+def line_pair_shared_segments(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Collinear overlapping pieces between two polylines.
+
+    Replaces ``geom1.intersection(geom2)`` + ``linemerge_ext`` + ``explode``
+    of the path-connected junction mode (join.py:213-217): shapely's
+    line ∩ line produces line parts exactly where segments overlap
+    collinearly (point crossings are dropped by extract_lines,
+    ops.py:136-159), so only those pieces are computed here.
+
+    Fast path: segments identical (undirected, bit-exact) in both lines
+    are matched by a single sort on packed endpoint keys and emitted whole;
+    only the unmatched residue of each side goes through the O(n*m)
+    collinear sweep. Vertex-aligned shared boundaries — the dominant case
+    in topology corpora — therefore cost O((n+m) log(n+m)) per pair instead
+    of O(n*m). Known (documented) deviation from the pure quadratic sweep:
+    when BOTH lines self-overlap along the same collinear run with two
+    different key-matched segmentations, the sub-piece of a matched segment
+    against another matched segment is not re-derived; GEOS semantics on
+    such self-overlapping inputs are equally unspecified.
+
+    Returns an (n, 4) array of overlap segments [x1, y1, x2, y2], unmerged.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    p, r = a[:-1], a[1:] - a[:-1]  # (n,2)
+    q, s = b[:-1], b[1:] - b[:-1]  # (m,2)
+    if len(p) == 0 or len(q) == 0:
+        return np.empty((0, 4))
+
+    ka = _undirected_seg_keys(a)
+    kb = _undirected_seg_keys(b)
+    uniq, inv = np.unique(np.concatenate([ka, kb]), return_inverse=True)
+    in_a = np.zeros(len(uniq), dtype=bool)
+    in_b = np.zeros(len(uniq), dtype=bool)
+    in_a[inv[: len(ka)]] = True
+    in_b[inv[len(ka):]] = True
+    both = in_a & in_b
+    match_a = both[inv[: len(ka)]]
+    match_b = both[inv[len(ka):]]
+
+    out: list = []
+    emit = match_a & ((r[:, 0] != 0) | (r[:, 1] != 0))  # skip degenerate
+    if emit.any():
+        whole = np.concatenate([p[emit], p[emit] + r[emit]], axis=1)
+        out.extend(whole.tolist())
+    if not match_a.all():
+        na = ~match_a
+        out.extend(_overlap_quadratic(p[na], r[na], q, s))
+    if not match_b.all():
+        nb = ~match_b
+        out.extend(_overlap_quadratic(q[nb], s[nb], p, r))
     if not out:
         return np.empty((0, 4))
     return _dedupe_segments(np.asarray(out))

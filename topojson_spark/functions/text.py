@@ -9,7 +9,8 @@ in both engines):
 - ngram jaccard:    shingle sets + pairwise jaccard among LSH candidates
 - minhash LSH:      k permutation-free minhashes from the md5 shingle hash
                     (h_i = (a_i * h + b_i) mod p), banded into buckets
-- simhash:          64-bit sign-aggregate of token hashes
+- simhash:          32-bit sign-aggregate of token hashes (32 keeps the
+                    fingerprint oracle-exact in DuckDB long arithmetic)
 - quality score:    length/punctuation/stopword ratios
 - language id:      stopword-hit heuristic over a tiny built-in lexicon
 - token count:      whitespace + punctuation-aware regex count

@@ -73,24 +73,12 @@ _LINE_COLS = [
     "gtype",
     "is_ring",
     "coords",
+    "ldig",
+    "x0",
+    "y0",
+    "x1",
+    "y1",
 ]
-
-
-@F.pandas_udf(T.BinaryType())
-def _line_digest(coords: pd.Series, is_ring: pd.Series) -> pd.Series:
-    """Exact-content line identity: sha1 over raw float64 coordinate bytes
-    (with -0.0 normalized) + the ring flag. Byte-identical duplicate lines —
-    the common case in a dedup-heavy corpus — collapse here; canonically-
-    equal-but-byte-different arcs still collapse later in the dedup stage."""
-    sha1 = hashlib.sha1
-    as_np = K.as_np
-
-    def dig(c, r):
-        return sha1(
-            (as_np(c) + 0.0).tobytes() + (b"R" if r else b"L")
-        ).digest()
-
-    return pd.Series([dig(c, r) for c, r in zip(coords, is_ring)])
 
 
 def _cut_with_splitters(reps_with_split: DataFrame, path_mode: bool) -> DataFrame:
@@ -148,20 +136,21 @@ def cut_stage(
     cell: Optional[float] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Split lines at junctions; always drops collinear interior vertices
-    (cut.py:136-147 does so on every path). Returns (parts, refs)."""
-    # digest computed ONCE and pinned: both downstream consumers (the
-    # distinct-content reps and the per-feature line_refs) read this frame,
-    # so the sha1 UDF never re-runs per consumer
-    lines = pin_truncate(
-        lines.select(*_LINE_COLS).withColumn(
-            "ldig", _line_digest("coords", "is_ring")
-        )
-    )
+    (cut.py:136-147 does so on every path). Returns (parts, refs).
+
+    The exact-content digest (``ldig``) and envelope columns arrive fused
+    from the extract parse (extract.line_annotations) — no extra
+    coordinate-carrying UDF pass happens here."""
+    lines = lines.select(*_LINE_COLS)
 
     # one representative per distinct line content (coords equal by digest)
     reps = lines.groupBy("ldig").agg(
         F.first("is_ring").alias("is_ring"),
         F.first("coords").alias("coords"),
+        F.first("x0").alias("x0"),
+        F.first("y0").alias("y0"),
+        F.first("x1").alias("x1"),
+        F.first("y1").alias("y1"),
     )
 
     if junctions is None:
@@ -170,25 +159,22 @@ def cut_stage(
         )  # splitter points stay nested [[x, y], ...]: tiny arrays
         parts = _cut_with_splitters(with_split, path_mode=False)
     elif shared_coords:
-        # exact vertex-key equi-join: junction must be an existing vertex
+        # exact vertex equi-join (reference semantics: a junction splits a
+        # line only where it IS a vertex, bit-exact — join.py:185-198 keys
+        # on raw float tuples)
         verts = reps.select(
             "ldig",
             F.explode(
                 F.expr(
                     "transform(sequence(0, (size(coords) div 2) - 1), "
                     "i -> struct("
-                    "bigint(round(coords[2*i] * 1e8)) as kx,"
-                    "bigint(round(coords[2*i + 1] * 1e8)) as ky))"
+                    "coords[2*i] as jx, coords[2*i + 1] as jy))"
                 )
             ).alias("v"),
-        ).select("ldig", "v.kx", "v.ky").dropDuplicates(["ldig", "kx", "ky"])
-        jkeys = junctions.select(
-            F.round(F.col("jx") * 1e8).cast("long").alias("kx"),
-            F.round(F.col("jy") * 1e8).cast("long").alias("ky"),
-            "jx",
-            "jy",
+        ).select("ldig", "v.jx", "v.jy").dropDuplicates(["ldig", "jx", "jy"])
+        matched = verts.join(junctions, on=["jx", "jy"]).select(
+            "ldig", "jx", "jy"
         )
-        matched = verts.join(jkeys, on=["kx", "ky"]).select("ldig", "jx", "jy")
         splitters = matched.groupBy("ldig").agg(
             F.collect_list(F.array("jx", "jy")).alias("splitters")
         )
@@ -208,7 +194,11 @@ def cut_stage(
         from .join import _with_bbox_cells
 
         lcells = _with_bbox_cells(
-            reps.selectExpr("ldig as lid", "coords"), bbox, cell
+            reps.selectExpr(
+                "ldig as lid", "x0", "y0", "x1", "y1"
+            ),
+            bbox,
+            cell,
         )
         jcells = junctions.select(
             "jx",
@@ -216,17 +206,13 @@ def cut_stage(
             F.floor((F.col("jx") - F.lit(bbox[0])) / F.lit(cell)).alias("cx"),
             F.floor((F.col("jy") - F.lit(bbox[1])) / F.lit(cell)).alias("cy"),
         )
-        from .join import _XS, _YS
-
-        xs = F.expr(_XS)
-        ys = F.expr(_YS)
         matched = (
             lcells.join(jcells, on=["cx", "cy"])
             .where(
-                (F.col("jx") >= F.array_min(xs))
-                & (F.col("jx") <= F.array_max(xs))
-                & (F.col("jy") >= F.array_min(ys))
-                & (F.col("jy") <= F.array_max(ys))
+                (F.col("jx") >= F.col("x0"))
+                & (F.col("jx") <= F.col("x1"))
+                & (F.col("jy") >= F.col("y0"))
+                & (F.col("jy") <= F.col("y1"))
             )
             .select(F.col("lid").alias("ldig"), "jx", "jy")
             .dropDuplicates(["ldig", "jx", "jy"])
@@ -241,7 +227,7 @@ def cut_stage(
     # and the kept-coords lookup; without the pin every consumer re-runs the
     # whole digest+splitter+split cascade
     parts = pin_truncate(parts)
-    line_refs = lines.drop("coords")
+    line_refs = lines.drop("coords", "x0", "y0", "x1", "y1")
     return parts, line_refs
 
 

@@ -26,6 +26,7 @@ final dense renumber at write time (SURVEY.md §4 determinism note).
 
 from __future__ import annotations
 
+import hashlib
 import json
 from typing import Iterator, Optional
 
@@ -59,6 +60,21 @@ LINES_SCHEMA = T.StructType(
         T.StructField("is_ring", T.BooleanType()),
         # FLAT interleaved [x0, y0, x1, y1, ...] — the engine wire format
         T.StructField("coords", T.ArrayType(T.DoubleType())),
+        # fused line annotations, computed in the SAME Python pass that
+        # already holds the numpy array (scaling lever: every extra
+        # coordinate-carrying Arrow round-trip is a full-corpus memory pass):
+        #   ldig — exact-content digest (cut stage identity)
+        #   pdig — orientation/rotation-invariant path digest (join stage
+        #          equal-linestring pre-filter)
+        #   x0..y1 — envelope (bbox agg + every grid-cell join)
+        # Any transform that rewrites coords (prequantize, presimplify)
+        # recomputes these in its own single pass (annotate_lines).
+        T.StructField("ldig", T.BinaryType()),
+        T.StructField("pdig", T.BinaryType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
     ]
 )
 
@@ -126,6 +142,15 @@ def _ring_self_intersects(ring: np.ndarray) -> bool:
     return bool(cross[ii[keep], jj[keep]].any())
 
 
+_CANON_TYPE = {
+    t.lower(): t
+    for t in (
+        "Point", "MultiPoint", "LineString", "MultiLineString",
+        "Polygon", "MultiPolygon", "GeometryCollection", "Feature",
+    )
+}
+
+
 class _FeatureParser:
     """Walks one GeoJSON geometry/Feature, collecting lines/points/units."""
 
@@ -137,7 +162,10 @@ class _FeatureParser:
         self.invalid = False
 
     def parse(self, geom: dict) -> Optional[dict]:
-        gtype = geom.get("type")
+        # case-insensitive type dispatch: the reference routes through
+        # shapely's shape(), which lowercases ob["type"] — fixtures like
+        # test_cut.py:191 rely on 'Linestring' parsing
+        gtype = _CANON_TYPE.get(str(geom.get("type")).lower())
         if gtype == "Feature":
             inner = self.parse(geom["geometry"])
             return inner
@@ -224,6 +252,29 @@ class _FeatureParser:
         return out
 
 
+def line_annotations(arr: np.ndarray, is_ring: bool) -> tuple:
+    """(flat, ldig, pdig, x0, y0, x1, y1) for one (k,2) float64 array.
+
+    ldig — sha1 over raw float64 coordinate bytes (with -0.0 normalized) +
+    the ring flag: exact-content line identity (cut stage groups on it so
+    byte-identical duplicate lines are split once). pdig — normalize_path
+    digest (join stage's equal-linestring pre-filter). Envelope mins/maxes
+    feed the bbox aggregate and every grid-cell join without re-walking the
+    coords column JVM-side."""
+    arr = np.ascontiguousarray(arr, dtype=np.float64) + 0.0
+    flat = arr.ravel().tolist()
+    ldig = hashlib.sha1(
+        arr.tobytes() + (b"R" if is_ring else b"L")
+    ).digest()
+    pdig = K.normalize_path(arr)
+    mn = arr.min(axis=0)
+    mx = arr.max(axis=0)
+    return (
+        flat, ldig, pdig,
+        float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1]),
+    )
+
+
 def _parse_batch(
     pdf: pd.DataFrame, winding_order: Optional[str]
 ) -> tuple:
@@ -256,17 +307,14 @@ def _parse_batch(
             continue
         for u, ri, gt, is_ring, coords in parser.lines:
             try:
-                flat = (
-                    np.asarray(coords, dtype=np.float64)[:, :2]
-                    .ravel()
-                    .tolist()
-                )
+                arr = np.asarray(coords, dtype=np.float64)[:, :2]
             except (ValueError, IndexError):
                 # ragged positions mixing 2- and 3-element coords are legal
                 # per RFC 7946 — fall back to per-point extraction
-                flat = [
-                    float(v) for c in coords for v in (c[0], c[1])
-                ]
+                arr = np.asarray(
+                    [[float(c[0]), float(c[1])] for c in coords],
+                    dtype=np.float64,
+                )
             lines_rows.append(
                 (
                     row.feature_seq,
@@ -276,7 +324,7 @@ def _parse_batch(
                     ri,
                     gt,
                     is_ring,
-                    flat,
+                    *line_annotations(arr, bool(is_ring)),
                 )
             )
         for u, ps, x, y in parser.points:
@@ -303,6 +351,35 @@ UNIFIED_SCHEMA = T.StructType(
 )
 
 
+def unified_emit(winding_order: Optional[str]):
+    """mapInPandas function emitting the unified record stream (one parse per
+    document). Shared by the batch extract and the streaming ingest so the
+    tuple layout can never drift between the two."""
+    ucols = [f.name for f in UNIFIED_SCHEMA.fields]
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lrows, prows, frows = _parse_batch(pdf, winding_order)
+            rows = []
+            _l6 = (None,) * 6  # pt_seq, x, y, template, properties, invalid
+            for r in lrows:
+                rows.append(("line", *r, *_l6))
+            _a6 = (None,) * 6  # ldig, pdig, x0, y0, x1, y1
+            for fs, fk, on, u, ps, x, y in prows:
+                rows.append(
+                    ("point", fs, fk, on, u, None, None, None, None, *_a6,
+                     ps, x, y, None, None, None)
+                )
+            for fs, fk, on, tmpl, props, inv in frows:
+                rows.append(
+                    ("feature", fs, fk, on, None, None, None, None, None,
+                     *_a6, None, None, None, tmpl, props, inv)
+                )
+            yield pd.DataFrame(rows, columns=ucols)
+
+    return emit
+
+
 def extract(
     features_in: DataFrame, options: TopoOptions, metrics=None
 ) -> tuple:
@@ -314,28 +391,9 @@ def extract(
     ``metrics`` (plans.metrics.StageMetrics) attaches the invalid-geometry
     counter of extract.py:137-143 plus row counters, at zero extra cost.
     """
-    winding = options.winding_order
-    ucols = [f.name for f in UNIFIED_SCHEMA.fields]
-
-    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            lrows, prows, frows = _parse_batch(pdf, winding)
-            rows = []
-            for r in lrows:
-                rows.append(("line", *r, None, None, None, None, None, None))
-            for fs, fk, on, u, ps, x, y in prows:
-                rows.append(
-                    ("point", fs, fk, on, u, None, None, None, None,
-                     ps, x, y, None, None, None)
-                )
-            for fs, fk, on, tmpl, props, inv in frows:
-                rows.append(
-                    ("feature", fs, fk, on, None, None, None, None, None,
-                     None, None, None, tmpl, props, inv)
-                )
-            yield pd.DataFrame(rows, columns=ucols)
-
-    unified = features_in.mapInPandas(emit, schema=UNIFIED_SCHEMA)
+    unified = features_in.mapInPandas(
+        unified_emit(options.winding_order), schema=UNIFIED_SCHEMA
+    )
     if not unified.isStreaming:
         # pin + lineage-truncate the unified parse so every downstream
         # branch (lines / points / features) reads the parse output instead
@@ -395,6 +453,17 @@ def features_from_mapping(
     def add_rows(mapping: dict, object_name: str, base_seq: int) -> int:
         seq = base_seq
         for key, obj in mapping.items():
+            if (
+                isinstance(obj, dict)
+                and str(obj.get("type", "")).casefold() == "featurecollection"
+            ):
+                # a FeatureCollection VALUE explodes into its features, the
+                # outer key is dropped (extract.py:676-691 delegates the
+                # nested dict to _extract_featurecollection)
+                seq = add_rows(
+                    to_mapping(obj, options.ignore_index), object_name, seq
+                )
+                continue
             props = None
             geom = obj
             if isinstance(obj, dict) and "geometry" in obj and not obj.get("type"):

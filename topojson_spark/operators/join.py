@@ -56,15 +56,15 @@ def compute_bbox_stats(
     degrades to a quadratic per-cell join once the corpus grows denser than
     K^2 cells, while envelope-sized cells keep each line on O(1) cells and
     each cell's occupancy proportional to true local overlap. Same single
-    pass as the bbox (ops.py:417-444 analog) — no extra job.
+    pass as the bbox (ops.py:417-444 analog) — no extra job. Envelopes were
+    fused into the extract parse (extract.line_annotations), so this scans
+    four doubles per line instead of re-walking the coords arrays.
     """
-    xs = F.expr(_XS)
-    ys = F.expr(_YS)
     lb = lines.select(
-        F.array_min(xs).alias("minx"),
-        F.array_min(ys).alias("miny"),
-        F.array_max(xs).alias("maxx"),
-        F.array_max(ys).alias("maxy"),
+        F.col("x0").alias("minx"),
+        F.col("y0").alias("miny"),
+        F.col("x1").alias("maxx"),
+        F.col("y1").alias("maxy"),
     )
     pb = points.select(
         F.col("x").alias("minx"),
@@ -105,34 +105,55 @@ def compute_bbox(lines: DataFrame, points: DataFrame) -> Optional[Tuple]:
 
 # ------------------------------------------------------------ per-line UDFs
 
+_ANNOT_T = T.StructType(
+    [
+        T.StructField("coords", T.ArrayType(T.DoubleType())),
+        T.StructField("ldig", T.BinaryType()),
+        T.StructField("pdig", T.BinaryType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
+_ANNOT_COLS = ["coords", "ldig", "pdig", "x0", "y0", "x1", "y1"]
+
+
+def _rewrite_lines(lines: DataFrame, fn) -> DataFrame:
+    """Apply ``fn: (k,2) array, is_ring -> (k,2) array`` to every line and
+    recompute the fused annotations (digests + envelope) in the SAME Arrow
+    pass — coord-rewriting stages never add an extra full-corpus round trip
+    (extract.line_annotations rationale)."""
+    from .extract import line_annotations
+
+    @F.pandas_udf(_ANNOT_T)
+    def rw(coords: pd.Series, is_ring: pd.Series) -> pd.DataFrame:
+        rows = [
+            line_annotations(fn(K.as_np(c), bool(r)), bool(r))
+            for c, r in zip(coords, is_ring)
+        ]
+        return pd.DataFrame(rows, columns=_ANNOT_COLS)
+
+    other = [c for c in lines.columns if c not in _ANNOT_COLS]
+    return lines.select(
+        *other, rw("coords", "is_ring").alias("_a")
+    ).select(*other, *[F.col(f"_a.{c}").alias(c) for c in _ANNOT_COLS])
+
 
 def presimplify_lines(lines: DataFrame, factor: float, algorithm: str) -> DataFrame:
     """join.py:129-144: simplify raw linestrings before junction detection."""
-
-    @F.pandas_udf(COORDS_T)
-    def simp(coords: pd.Series) -> pd.Series:
-        return coords.map(
-            lambda c: K.flat(
-                K.simplify_coords(K.as_np(c), factor, algorithm)
-            )
-        )
-
-    return lines.withColumn("coords", simp("coords"))
+    return _rewrite_lines(
+        lines, lambda a, _r: K.simplify_coords(a, factor, algorithm)
+    )
 
 
 def quantize_lines(lines: DataFrame, bbox: Tuple, quant_factor: float) -> DataFrame:
     """ops.py:641-668 per line; the transform is derived from the global
     bbox (already aggregated) so this stage is narrow."""
-
-    @F.pandas_udf(COORDS_T)
-    def quant(coords: pd.Series) -> pd.Series:
-        return coords.map(
-            lambda c: K.flat(
-                K.quantize_coords(K.as_np(c), bbox, quant_factor)
-            )
-        )
-
-    return lines.withColumn("coords", quant("coords"))
+    return _rewrite_lines(
+        lines, lambda a, _r: K.quantize_coords(a, bbox, quant_factor)
+    )
 
 
 def quantize_points(points: DataFrame, bbox: Tuple, quant_factor: float) -> DataFrame:
@@ -154,6 +175,12 @@ def junctions_shared_coords(lines: DataFrame) -> DataFrame:
     reference's exact wraparound (join.py:188-196: Python negative indexing
     gives prev=last for i=0; next=first for the last vertex). Junction iff
     the vertex has >= 2 distinct sorted neighbor pairs globally.
+
+    Vertex identity is EXACT coordinate equality (the reference keys its
+    neighbor dict on raw float tuples, join.py:185-198) — naturalearth-style
+    data has near-identical border vertices differing at 1e-13 that must NOT
+    merge; Spark groupBy on doubles matches Python dict-key semantics
+    (bit equality with -0.0 == 0.0 normalization).
     Returns distinct (jx, jy).
     """
     verts = lines.select(
@@ -161,52 +188,46 @@ def junctions_shared_coords(lines: DataFrame) -> DataFrame:
             F.expr(
                 """
                 transform(sequence(0, (size(coords) div 2) - 1), i -> struct(
-                  bigint(round(coords[2*i] * 1e8)) as kx,
-                  bigint(round(coords[2*i + 1] * 1e8)) as ky,
                   coords[2*i] as x, coords[2*i + 1] as y,
                   array_sort(array(
                     struct(
-                      bigint(round(coords[2 * if(i = 0, (size(coords) div 2) - 1, i - 1)] * 1e8)) as nx,
-                      bigint(round(coords[2 * if(i = 0, (size(coords) div 2) - 1, i - 1) + 1] * 1e8)) as ny
+                      coords[2 * if(i = 0, (size(coords) div 2) - 1, i - 1)] as nx,
+                      coords[2 * if(i = 0, (size(coords) div 2) - 1, i - 1) + 1] as ny
                     ),
                     struct(
-                      bigint(round(coords[2 * if(i = (size(coords) div 2) - 1, 0, i + 1)] * 1e8)) as nx,
-                      bigint(round(coords[2 * if(i = (size(coords) div 2) - 1, 0, i + 1) + 1] * 1e8)) as ny
+                      coords[2 * if(i = (size(coords) div 2) - 1, 0, i + 1)] as nx,
+                      coords[2 * if(i = (size(coords) div 2) - 1, 0, i + 1) + 1] as ny
                     )
                   )) as neigh
                 ))
                 """
             )
         ).alias("v")
-    ).select("v.kx", "v.ky", "v.x", "v.y", "v.neigh")
+    ).select("v.x", "v.y", "v.neigh")
 
     # two-level aggregation: distinct (vertex, neigh) first (map-side
     # combinable), then count distinct neighbor sets per vertex
-    per_pair = verts.groupBy("kx", "ky", "neigh").agg(
-        F.first("x").alias("x"), F.first("y").alias("y")
-    )
+    per_pair = verts.groupBy("x", "y", "neigh").agg(F.count(F.lit(1)).alias("_c"))
     return (
-        per_pair.groupBy("kx", "ky")
-        .agg(F.count(F.lit(1)).alias("n"), F.first("x").alias("jx"),
-             F.first("y").alias("jy"))
+        per_pair.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
-        .select("jx", "jy")
+        .select(F.col("x").alias("jx"), F.col("y").alias("jy"))
     )
 
 
 def _with_bbox_cells(lines: DataFrame, bbox: Tuple, cell: float) -> DataFrame:
-    """Attach exploded envelope cell ids covering each line's bbox."""
-    x0, y0 = bbox[0], bbox[1]
+    """Attach exploded envelope cell ids covering each line's bbox.
+    ``lines`` must carry the fused envelope columns (x0, y0, x1, y1)."""
+    bx, by = bbox[0], bbox[1]
     return (
-        lines.withColumn("_xs", F.expr(_XS))
-        .withColumn("_ys", F.expr(_YS))
-        .withColumn("_cx0", F.floor((F.array_min("_xs") - F.lit(x0)) / F.lit(cell)))
-        .withColumn("_cx1", F.floor((F.array_max("_xs") - F.lit(x0)) / F.lit(cell)))
-        .withColumn("_cy0", F.floor((F.array_min("_ys") - F.lit(y0)) / F.lit(cell)))
-        .withColumn("_cy1", F.floor((F.array_max("_ys") - F.lit(y0)) / F.lit(cell)))
+        lines.withColumn("_cx0", F.floor((F.col("x0") - F.lit(bx)) / F.lit(cell)))
+        .withColumn("_cx1", F.floor((F.col("x1") - F.lit(bx)) / F.lit(cell)))
+        .withColumn("_cy0", F.floor((F.col("y0") - F.lit(by)) / F.lit(cell)))
+        .withColumn("_cy1", F.floor((F.col("y1") - F.lit(by)) / F.lit(cell)))
         .withColumn("cx", F.explode(F.sequence("_cx0", "_cx1")))
         .withColumn("cy", F.explode(F.sequence("_cy0", "_cy1")))
-        .drop("_xs", "_ys", "_cx0", "_cx1", "_cy0", "_cy1")
+        .drop("_cx0", "_cx1", "_cy0", "_cy1")
     )
 
 
@@ -216,8 +237,9 @@ def candidate_pairs(
     """Envelope-overlap line pairs (lid_a < lid_b) via grid-cell self-join —
     the distributed replacement for select_unique_combs (ops.py:575-610).
 
-    ``lines`` must carry a unique long ``lid`` plus ``coords``; the returned
-    frame has (lid_a, coords_a, lid_b, coords_b), each pair exactly once.
+    ``lines`` must carry a unique long ``lid``, ``coords`` and the fused
+    envelope columns (x0, y0, x1, y1); the returned frame has
+    (lid_a, coords_a, lid_b, coords_b), each pair exactly once.
     """
     if cell is None:
         span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
@@ -230,16 +252,9 @@ def candidate_pairs(
             cell = max(cell, span / 4096)
     # pair enumeration and dedup run over *ids + envelopes only*; the heavy
     # coordinate arrays are joined in once per surviving pair (shuffle bytes
-    # stay proportional to the pair list, not to pair-multiplicity x coords)
-    xs = F.expr(_XS)
-    ys = F.expr(_YS)
-    env = lines.select(
-        "lid",
-        F.array_min(xs).alias("x0"),
-        F.array_min(ys).alias("y0"),
-        F.array_max(xs).alias("x1"),
-        F.array_max(ys).alias("y1"),
-    )
+    # stay proportional to the pair list, not to pair-multiplicity x coords).
+    # Envelopes come from the fused extract annotations.
+    env = lines.select("lid", "x0", "y0", "x1", "y1")
     cells = (
         env.withColumn(
             "cx",
@@ -301,28 +316,24 @@ def junctions_path_connected(
 
     Candidate pairs -> drop path-equal pairs (shapely ``equals`` analog via
     normalize_path) -> collinear overlap pieces -> linemerge -> endpoints.
-    Returns distinct (jx, jy).
+    Returns distinct (jx, jy). The path digest (``pdig``) and envelopes were
+    fused into the extract parse — no coordinate-carrying UDF pass here.
     """
-
-    @F.pandas_udf(T.BinaryType())
-    def path_digest(coords: pd.Series) -> pd.Series:
-        return coords.map(
-            lambda c: K.normalize_path(
-                K.as_np(c)
-            )
-        )
-
-    lines_d = lines_with_lid.withColumn("pdig", path_digest("coords"))
     # semantics-preserving pre-dedup (join.py:207-210 skips equal pairs, and
     # path-equal copies produce identical intersections with every other
     # line) — one representative per path digest, so exact-duplicate-heavy
     # corpora don't blow up the candidate self-join quadratically
-    reps = lines_d.groupBy("pdig").agg(
-        F.min("lid").alias("lid"), F.first("coords").alias("coords")
+    reps = lines_with_lid.groupBy("pdig").agg(
+        F.min("lid").alias("lid"),
+        F.first("coords").alias("coords"),
+        F.first("x0").alias("x0"),
+        F.first("y0").alias("y0"),
+        F.first("x1").alias("x1"),
+        F.first("y1").alias("y1"),
     )
     # distinct representatives guarantee pdig_a != pdig_b for every pair
     pairs = candidate_pairs(
-        reps.select("lid", "coords"), bbox, cell=cell
+        reps.select("lid", "coords", "x0", "y0", "x1", "y1"), bbox, cell=cell
     ).select("coords_a", "coords_b")
 
     out_schema = T.StructType(
@@ -343,13 +354,10 @@ def junctions_path_connected(
             yield pd.DataFrame({"jx": xs, "jy": ys})
 
     raw = pairs.mapInPandas(find, schema=out_schema)
-    return raw.withColumn(
-        "kx", F.round(F.col("jx") * 1e8).cast("long")
-    ).withColumn("ky", F.round(F.col("jy") * 1e8).cast("long")).groupBy(
-        "kx", "ky"
-    ).agg(
-        F.first("jx").alias("jx"), F.first("jy").alias("jy")
-    ).select("jx", "jy")
+    # exact-equality dedup (the reference keeps set() of raw float tuples,
+    # join.py:219-226); chain endpoints are copies of input vertices, so
+    # bit-exact equality is the right merge key
+    return raw.dropDuplicates(["jx", "jy"])
 
 
 # ------------------------------------------------------------ stage API

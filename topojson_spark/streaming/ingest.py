@@ -57,7 +57,7 @@ def stream_extract(
     from ..operators import extract as X
 
     unified = feats_in.mapInPandas(
-        _unified_emit(opts), schema=X.UNIFIED_SCHEMA
+        X.unified_emit(opts.winding_order), schema=X.UNIFIED_SCHEMA
     )
     q = (
         unified.writeStream.format("parquet")
@@ -67,35 +67,6 @@ def stream_extract(
         .start()
     )
     return [q]
-
-
-def _unified_emit(opts: TopoOptions):
-    from ..operators import extract as X
-
-    winding = opts.winding_order
-    ucols = [f.name for f in X.UNIFIED_SCHEMA.fields]
-
-    def emit(it):
-        import pandas as pd
-
-        for pdf in it:
-            lrows, prows, frows = X._parse_batch(pdf, winding)
-            rows = []
-            for r in lrows:
-                rows.append(("line", *r, None, None, None, None, None, None))
-            for fs, fk, on, u, ps, x, y in prows:
-                rows.append(
-                    ("point", fs, fk, on, u, None, None, None, None,
-                     ps, x, y, None, None, None)
-                )
-            for fs, fk, on, tmpl, props, inv in frows:
-                rows.append(
-                    ("feature", fs, fk, on, None, None, None, None, None,
-                     None, None, None, tmpl, props, inv)
-                )
-            yield pd.DataFrame(rows, columns=ucols)
-
-    return emit
 
 
 def read_staged(spark: SparkSession, out_dir: str):
