@@ -139,3 +139,53 @@ def test_stage_metrics_and_manifest_verify(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="manifest"):
         read_tables(spark, path, verify=True)
+
+
+def test_durable_stage_checkpoints_and_mid_pipeline_resume(spark, tmp_path):
+    """With checkpoint_dir set, every stage boundary lands on storage as
+    standalone parquet (survivable across executor AND driver loss, unlike
+    localCheckpoint blocks), and checkpoint_resume=True trusts completed
+    stages — proven by poisoning the input: a resumed run must reproduce
+    the ORIGINAL run's arcs because it never re-reads the input."""
+    import os
+    import shutil
+
+    from topojson_spark.topology import Topology
+
+    ckpt = str(tmp_path / "stages")
+    docs = generate_documents(spark, 9, 3, 3)
+    t = Topology(docs, prequantize=False, checkpoint_dir=ckpt)
+    n1 = t.arcs.count()
+    assert n1 > 0
+
+    stage_dirs = sorted(
+        d for d in os.listdir(ckpt) if d.startswith("stage_")
+    )
+    assert len(stage_dirs) >= 3  # extract parse, cut parts, dedup chain...
+    for d in stage_dirs:
+        assert os.path.exists(os.path.join(ckpt, d, "_SUCCESS"))
+        # each stage readable standalone — no lineage, no in-memory blocks
+        assert spark.read.parquet(os.path.join(ckpt, d)).count() >= 0
+
+    # full resume with a poisoned (different) input: all stages trusted
+    poisoned = generate_documents(spark, 4, 2, 2, seed=7)
+    t2 = Topology(
+        poisoned, prequantize=False, checkpoint_dir=ckpt,
+        checkpoint_resume=True,
+    )
+    assert t2.arcs.count() == n1
+
+    # kill-between-stages: drop every stage AFTER the extract parse; the
+    # tail recomputes from the surviving stage_000 (the pinned parse of the
+    # ORIGINAL input), so the poisoned input still never contributes
+    for d in stage_dirs[1:]:
+        shutil.rmtree(os.path.join(ckpt, d))
+    t3 = Topology(
+        poisoned, prequantize=False, checkpoint_dir=ckpt,
+        checkpoint_resume=True,
+    )
+    assert t3.arcs.count() == n1
+
+    # no resume flag -> stages overwritten from the new input
+    t4 = Topology(poisoned, prequantize=False, checkpoint_dir=ckpt)
+    assert t4.arcs.count() != n1

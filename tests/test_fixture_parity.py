@@ -207,3 +207,79 @@ def test_roundtrip_naturalearth_lowres_geometry_equality(spark):
         if got[k] != want[k]:
             n_bad += 1
     assert n_bad == 0, f"{n_bad}/{len(want)} geometries differ after roundtrip"
+
+
+def test_topology_geojson_duplicates_exact_ring(spark):
+    # tests/test_topology.py:517-527 — p0's reconstructed ring after dedup
+    # must be exactly POLYGON ((0 1, 0 0, 1 0, 2 0, 2 1, 1 1, 0 1)):
+    # rotation to the junction, winding, and the shared-arc stitch are all
+    # pinned by the exact coordinate sequence.
+    data = {
+        "abc": {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [0, 1], [1, 1], [2, 1], [2, 0], [1, 0], [0, 0]]
+            ],
+        },
+        "def": {
+            "type": "Polygon",
+            "coordinates": [[[0, 1], [0, 2], [1, 2], [1, 1], [0, 1]]],
+        },
+        "ghi": {
+            "type": "Polygon",
+            "coordinates": [[[1, 0], [2, 0], [2, -1], [1, -1], [1, 0]]],
+        },
+    }
+    t = Topology(data, spark=spark, prequantize=False)
+    fc = t.to_geojson()
+    by_id = {f["id"]: f for f in fc["features"]}
+    ring = by_id["abc"]["geometry"]["coordinates"][0]
+    assert ring == [
+        [0.0, 1.0], [0.0, 0.0], [1.0, 0.0], [2.0, 0.0],
+        [2.0, 1.0], [1.0, 1.0], [0.0, 1.0],
+    ]
+
+
+def test_topojson_from_file_naturalearth(spark):
+    # tests/test_topology.py:540-546 — parse a TopoJSON document directly
+    import json as _json
+
+    with open(
+        "/root/reference/tests/files_topojson/naturalearth.topojson"
+    ) as f:
+        data = _json.load(f)
+    t = Topology(data, spark=spark)
+    d = t.to_dict()
+    assert len(d["objects"]) == 1
+    assert len(d["arcs"]) == 9
+
+
+def test_topojson_africa_reingest_toposimplify(spark):
+    # tests/test_topology.py:551-560 — re-ingest the 173-arc africa
+    # topojson and toposimplify; arc count is preserved (simplify never
+    # drops arcs), every arc shrinks or keeps its vertex count, endpoints
+    # survive (topology preserved)
+    import json as _json
+
+    import numpy as np
+
+    with open(
+        "/root/reference/tests/files_topojson/naturalearth_lowres_africa"
+        ".topojson"
+    ) as f:
+        data = _json.load(f)
+    t = Topology(data, spark=spark, object_name="data")
+    before = {
+        r["final_idx"]: r["coords"]
+        for r in t.arcs.select("final_idx", "coords").collect()
+    }
+    t2 = t.toposimplify(1)
+    after = {
+        r["final_idx"]: r["coords"]
+        for r in t2.arcs.select("final_idx", "coords").collect()
+    }
+    assert len(after) == len(before) == 173
+    for i, c in after.items():
+        b = before[i]
+        assert len(c) <= len(b)
+        assert c[:2] == b[:2] and c[-2:] == b[-2:]

@@ -245,7 +245,12 @@ class _FeatureParser:
                 return None
             if not np.array_equal(arr[0], arr[-1]):
                 arr = np.vstack([arr, arr[:1]])
-            if len(arr) < 4 or _ring_self_intersects(arr):
+            if (
+                len(arr) < 4
+                or K.signed_area(arr) == 0.0  # degenerate/collinear ring —
+                # shapely is_valid rejects zero-area (extract.py:739-742)
+                or _ring_self_intersects(arr)
+            ):
                 self.invalid = True
                 return None
             out.append(arr.tolist())
@@ -289,9 +294,12 @@ def _parse_batch(
         invalid = parser.invalid or template is None
         props = row.properties
         if isinstance(geom, dict) and geom.get("type") == "Feature":
+            # property VALUES are stored json-encoded so arbitrary JSON
+            # (nested dicts, numbers, bools — issue 151 parity) round-trips
+            # through the map<string,string> column; to_dict decodes
             gprops = geom.get("properties") or {}
             merged = dict(props or {})
-            merged.update({k: str(v) for k, v in gprops.items()})
+            merged.update({k: json.dumps(v) for k, v in gprops.items()})
             props = merged
         feat_rows.append(
             (
@@ -467,8 +475,9 @@ def features_from_mapping(
             props = None
             geom = obj
             if isinstance(obj, dict) and "geometry" in obj and not obj.get("type"):
+                # json-encoded values (decoded in to_dict) — see _parse_batch
                 props = {
-                    k: str(v) for k, v in obj.items() if k != "geometry"
+                    k: json.dumps(v) for k, v in obj.items() if k != "geometry"
                 }
                 geom = obj["geometry"]
             rows.append(

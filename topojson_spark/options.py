@@ -40,6 +40,9 @@ class TopoOptions:
     dedup_salt_buckets: int = 16  # salt width for the canonical-hash shuffle
     cell_level: int = 8  # default cell-index level for the spatial layer
     checkpoint_dir: Optional[str] = None  # stage-output checkpointing root
+    # with checkpoint_dir set: trust existing stage parquet (resume a
+    # killed job from its last completed stage) instead of recomputing
+    checkpoint_resume: bool = False
 
     def object_names(self) -> list:
         if isinstance(self.object_name, str):

@@ -10,13 +10,26 @@ Two flavors:
   frame re-analyzes the whole tree, and AQE re-plans it per exchange);
   truncating at the stage boundaries keeps downstream plans O(stage)
   instead of O(pipeline). Tradeoff: checkpoint blocks are not re-derivable
-  after executor loss — acceptable because durable resume goes through
-  write_tables/read_tables (north rule), not in-memory lineage."""
+  after executor loss — acceptable for interactive jobs because durable
+  resume goes through write_tables/read_tables (north rule).
+
+For LONG jobs, ``durable_stage_checkpoints`` upgrades every pin_truncate
+inside its scope to a parquet write+read at ``options.checkpoint_dir``:
+stage outputs survive executor AND driver loss, and a re-run with
+``checkpoint_resume=True`` picks up mid-pipeline from the last completed
+stage (stages are numbered in deterministic pipeline order; a stage is
+trusted only when its parquet ``_SUCCESS`` marker exists)."""
 
 from __future__ import annotations
 
+import os
+import threading
+from contextlib import contextmanager
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+_ctx = threading.local()
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -24,11 +37,40 @@ def pin(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-import os
+@contextmanager
+def durable_stage_checkpoints(root: str, resume: bool = False):
+    """Within this scope, pin_truncate writes stage parquet under ``root``.
+
+    Writes are EAGER (each stage boundary materializes when the pipeline is
+    built) — that is the point: a killed job leaves completed stages on
+    storage. With ``resume=True``, a stage whose ``_SUCCESS`` marker exists
+    is read back instead of recomputed, so only the tail of the pipeline
+    re-runs. Stage numbering is call-order within the scope, which is
+    deterministic for a given (input, options) because every branch decision
+    upstream of a pin derives from already-pinned frames."""
+    _ctx.root = root
+    _ctx.resume = resume
+    _ctx.n = 0
+    try:
+        yield
+    finally:
+        _ctx.root = None
+
+
+def _pin_durable(df: DataFrame) -> DataFrame:
+    i = _ctx.n
+    _ctx.n += 1
+    path = os.path.join(_ctx.root, f"stage_{i:03d}")
+    spark = df.sparkSession
+    if not (_ctx.resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def pin_truncate(df: DataFrame) -> DataFrame:
     """Lazily persist AND truncate logical lineage (stage boundary)."""
+    if getattr(_ctx, "root", None) and not df.isStreaming:
+        return _pin_durable(df)
     if os.environ.get("SPARK_GRAFT_NO_TRUNCATE"):
         return pin(df)
     return df.localCheckpoint(

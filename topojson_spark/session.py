@@ -50,6 +50,18 @@ def get_spark(
         # across all cores) while still merging genuinely empty partitions.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan partition sizing: the engine's hot path is a document scan
+        # feeding a CPU-bound Arrow parse (~100x more CPU per byte than a
+        # pure-JVM scan). The 128m default packs a whole small corpus into
+        # a couple of tasks and starves the cores; 16m keeps parse tasks at
+        # ~1-3 s so the scheduler can balance them. Task count still scales
+        # with input (100 TB / 16m is millions of tasks, which the DAG
+        # scheduler amortizes per-executor); override via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES for pure-SQL analytics sessions.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # pipeline plan trees get very deep (6 chained stages x pinned
         # branches); uncapped explain-string generation for execution events
         # can OOM the driver on plans that execute fine

@@ -39,6 +39,20 @@ from .plans.pin import pin_truncate
 COORDS_T = T.ArrayType(T.DoubleType())  # flat interleaved x,y
 
 
+def _decode_props(props) -> dict:
+    """Properties ride the pipeline as map<string,string> with json-encoded
+    VALUES (extract._parse_batch), so arbitrary JSON property values —
+    nested dicts, numbers, bools (reference issue 151) — round-trip. Legacy
+    plain-string values (non-JSON) pass through unchanged."""
+    out = {}
+    for k, v in (props or {}).items():
+        try:
+            out[k] = json.loads(v)
+        except (json.JSONDecodeError, TypeError):
+            out[k] = v
+    return out
+
+
 class Topology:
     """Compute a topology over documents (DataFrame) or driver-side mappings.
 
@@ -130,6 +144,21 @@ class Topology:
     # ------------------------------------------------------------ pipeline
 
     def _run(self, features_in: DataFrame) -> None:
+        from .plans.pin import durable_stage_checkpoints
+
+        opts = self.options
+        if opts.checkpoint_dir and not features_in.isStreaming:
+            # long-job mode: every stage boundary becomes a parquet
+            # write/read under checkpoint_dir — survivable across executor
+            # AND driver loss, resumable mid-pipeline (checkpoint_resume)
+            with durable_stage_checkpoints(
+                opts.checkpoint_dir, opts.checkpoint_resume
+            ):
+                self._run_stages(features_in)
+        else:
+            self._run_stages(features_in)
+
+    def _run_stages(self, features_in: DataFrame) -> None:
         from .plans.metrics import StageMetrics
 
         self._preresolved_objects = None
@@ -314,7 +343,7 @@ class Topology:
                 else:
                     key = r["fkey"]
                     feat["id"] = int(key) if key.lstrip("-").isdigit() else key
-                feat["properties"] = dict(r["properties"] or {})
+                feat["properties"] = _decode_props(r["properties"])
                 geoms.append(feat)
             objects[name] = {"type": "GeometryCollection", "geometries": geoms}
 
