@@ -29,8 +29,13 @@ path = os.environ["CORPUS_PATH"]
 # AQE off: its per-exchange re-planning is a fixed ~45s of serial driver
 # latency at this data size, identical at both parallelism levels — it
 # would swamp the ratio being measured (see session.get_spark docstring)
+# shuffle partitioning is a property of the JOB (sized to the data), not
+# of the cluster: on a real ramp from N to 4N executors the SQL conf stays
+# fixed, so both levels run the identical plan — 3x the larger level's
+# cores keeps every level's tasks fine-grained without inflating the
+# smaller level's task count artificially
 spark = get_spark("scaling", master=f"local[{{cpus}}]",
-                  shuffle_partitions=3 * cpus, aqe=False)
+                  shuffle_partitions=48, aqe=False)
 spark.sparkContext.setLogLevel("ERROR")
 # warm the JVM/Arrow path so fixed startup cost doesn't pollute the ratio
 warm = generate_documents(spark, 200, grid_w=8, grid_h=8)

@@ -35,8 +35,9 @@ from pyspark.sql import functions as F
 
 cpus = int(os.environ["CPUS"])
 path = os.environ["CORPUS_PATH"]
+# fixed across levels: the job's conf, not the cluster's (see bench_scaling)
 spark = get_spark("profile", master=f"local[{{cpus}}]",
-                  shuffle_partitions=3 * cpus, aqe=False)
+                  shuffle_partitions=48, aqe=False)
 spark.sparkContext.setLogLevel("ERROR")
 
 # warm

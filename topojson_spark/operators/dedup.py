@@ -178,56 +178,60 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         )
     )
 
-    kept_arcs = (
-        agg.select(
+    # ---- flags + keeper selection, fanned onto the distinct parts ----
+    # row-level facts are ldig-level facts: row_len = n parts of the ldig,
+    # shared flags come from the parts' digests; one narrow join fans
+    # kept/is_shared back onto the distinct parts (flags, merge input,
+    # pmap, AND the survivor-coords selection: is_keeper marks the member
+    # whose byte-variant the reference keeps, so no second pass over agg)
+    part_flags = pin_truncate(
+        parts_n.join(agg, on="pdig").select(
+            "ldig",
+            "split_seq",
             "kept",
             (F.col("n_refs") > 1).alias("is_shared"),
-            F.col("keep_member.ldig").alias("ldig"),
-            F.col("keep_member.split_seq").alias("split_seq"),
+            (
+                (F.col("ldig") == F.col("keep_member.ldig"))
+                & (F.col("split_seq") == F.col("keep_member.split_seq"))
+            ).alias("is_keeper"),
         )
-        .join(parts, on=["ldig", "split_seq"])
+    )
+    kept_arcs = (
+        part_flags.where(F.col("is_keeper"))
+        .join(parts.select("ldig", "split_seq", "coords"), on=["ldig", "split_seq"])
         .select("kept", "coords", "is_shared")
     )
 
     # ---- contiguous merge (incl. the padded-array quirk) ----
-    # row-level facts are ldig-level facts: row_len = n parts of the ldig,
-    # shared flags come from the parts' digests; one narrow join fans
-    # kept/is_shared back onto the distinct parts (flags, merge input, pmap)
-    part_flags = pin_truncate(
-        parts_n.join(
-            agg.select(
-                "pdig", "kept", (F.col("n_refs") > 1).alias("is_shared")
-            ),
-            on="pdig",
-        )
+    # one grouped pass yields everything eligibility needs: row length plus
+    # the first/last arcs' shared flags (min/max struct over the row's
+    # unique split_seq picks the first/last part). A row whose LAST part is
+    # shared at its own max_split only matters when max_split == global max,
+    # so per-row flags are equivalent to the reference's padded-array mask.
+    row_info = part_flags.groupBy("ldig").agg(
+        F.max("split_seq").alias("max_split"),
+        F.min(F.struct("split_seq", "is_shared"))["is_shared"].alias(
+            "first_shared"
+        ),
+        F.max(F.struct("split_seq", "is_shared"))["is_shared"].alias(
+            "last_shared"
+        ),
     )
-    len_row = part_flags.groupBy("ldig").agg(
-        F.max("split_seq").alias("max_split")
-    )
-    max_len_row = len_row.agg(F.max("max_split").alias("m")).collect()[0]
+    # tiny scalar; the action doubles as the forcing point for the
+    # part_flags checkpoint every downstream branch reuses
+    max_len_row = row_info.agg(F.max("max_split").alias("m")).collect()[0]
     max_len = int(max_len_row["m"]) + 1 if max_len_row["m"] is not None else 0
 
     popped_merge = None
     merged_coords = None
     if max_len > 1:
-        bad_ldigs = (
-            part_flags.where(
-                (
-                    (F.col("split_seq") == 0)
-                    | (F.col("split_seq") == max_len - 1)
-                )
-                & F.col("is_shared")
-            )
-            .select("ldig")
-            .distinct()
-        )
         # rows (== ldigs: an ldig carried by >1 row has all-shared arcs and
-        # lands in bad_ldigs) with exactly max_len arcs, first+last unshared
-        eligible = (
-            len_row.where(F.col("max_split") == max_len - 1)
-            .join(bad_ldigs, on="ldig", how="left_anti")
-            .select("ldig")
-        )
+        # fails the flag test) with exactly max_len arcs, first+last unshared
+        eligible = row_info.where(
+            (F.col("max_split") == max_len - 1)
+            & ~F.col("first_shared")
+            & ~F.col("last_shared")
+        ).select("ldig")
         # coords joined in only for the (typically tiny) merge-eligible set
         merge_in = (
             part_flags.join(eligible, on="ldig")
