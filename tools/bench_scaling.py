@@ -84,8 +84,15 @@ def run_once(cpus: int, n_docs: int, grid: int, vpe: int) -> dict:
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=1800
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(
+            f"--- inner job (cpus={cpus}) produced no JSON ---\n"
+            f"rc={out.returncode}\nstdout tail:\n{out.stdout[-4000:]}\n"
+            f"stderr tail:\n{out.stderr[-4000:]}\n"
+        )
+        raise RuntimeError(f"scaling job failed at cpus={cpus}")
+    return json.loads(lines[-1])
 
 
 def run(cpus: int, n_docs: int, grid: int, vpe: int,

@@ -218,13 +218,27 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         ),
     )
     # tiny scalar; the action doubles as the forcing point for the
-    # part_flags checkpoint every downstream branch reuses
-    max_len_row = row_info.agg(F.max("max_split").alias("m")).collect()[0]
-    max_len = int(max_len_row["m"]) + 1 if max_len_row["m"] is not None else 0
+    # part_flags checkpoint every downstream branch reuses. Also counts the
+    # merge-eligible rows at the global max length so the whole merge
+    # subplan (~8 shuffle barriers) is skipped when nothing can merge — the
+    # common case for shared-arc-heavy corpora.
+    stats = (
+        row_info.groupBy("max_split")
+        .agg(
+            F.sum(
+                (~F.col("first_shared") & ~F.col("last_shared")).cast("int")
+            ).alias("n_ok")
+        )
+        .orderBy(F.desc("max_split"))
+        .limit(1)
+        .collect()
+    )
+    max_len = int(stats[0]["max_split"]) + 1 if stats else 0
+    n_eligible = int(stats[0]["n_ok"]) if stats else 0
 
     popped_merge = None
     merged_coords = None
-    if max_len > 1:
+    if max_len > 1 and n_eligible > 0:
         # rows (== ldigs: an ldig carried by >1 row has all-shared arcs and
         # fails the flag test) with exactly max_len arcs, first+last unshared
         eligible = row_info.where(
@@ -336,10 +350,21 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     arcs_final = dense_index(kept_flat, ["_f", "_u", "_r", "_s"], "final_idx")
     arcs_final = arcs_final.select("kept", "final_idx", "is_shared", "coords")
 
+    # pmap carries the fixed-size endpoint/shoelace summary of each arc
+    # (computed here, in the join against the arc store that mints final
+    # ids anyway) so the hashmap stage never joins arcs_final again
+    from .hashmap import arc_summary_cols
+
     pmap = pin_truncate(
         pmap0.join(
-            arcs_final.select("kept", "final_idx", "is_shared"), on="kept"
-        ).select("ldig", "split_seq", "final_idx", "is_shared")
+            arcs_final.select(
+                "kept", "final_idx", "is_shared", *arc_summary_cols()
+            ),
+            on="kept",
+        ).select(
+            "ldig", "split_seq", "final_idx", "is_shared",
+            "fx", "fy", "lx", "ly", "shl",
+        )
     )
     refs_final = expand_refs(line_refs, pmap)
     return arcs_final.drop("kept"), refs_final, pmap

@@ -85,9 +85,42 @@ def backward_arcs(
     inner: bool,
     winding_order: Optional[str],
 ) -> List[int]:
+    """Port of hashmap.py:198-311 (see backward_arcs_core); resolves the
+    order-3 winding for one ring polarity."""
+    out, order = backward_arcs_core(arc_ids, shared, info_by_id)
+    return resolve_ring_winding(out, order, info_by_id, inner, winding_order)
+
+
+def resolve_ring_winding(
+    out: List[int],
+    order: int,
+    info_by_id: dict,
+    inner: bool,
+    winding_order: Optional[str],
+) -> List[int]:
+    """hashmap.py:296-309: the order-3 winding double-check for one
+    polarity (inner vs outer ring) — cheap endpoint math, so both
+    polarities of a line share one backward_arcs_core pass."""
+    if order != 3:
+        return [int(v) for v in out]
+    if inner and winding_order == "CCW_CW":
+        need_ccw = False
+    elif not inner and (winding_order == "CW_CCW" or winding_order is None):
+        need_ccw = False
+    else:
+        need_ccw = True
+    return [int(v) for v in _resolve_orient(list(out), need_ccw, info_by_id)]
+
+
+def backward_arcs_core(
+    arc_ids: List[int],
+    shared: List[bool],
+    info_by_id: dict,
+):
     """Port of hashmap.py:198-311 including the loop-carried
-    previous_arc_backwards state and the order-3 winding double-check
-    (hashmap.py:296-309).
+    previous_arc_backwards state, WITHOUT the final order-3 winding
+    resolution (polarity-dependent; applied by resolve_ring_winding).
+    Returns (signed arc ids, last split run's order).
 
     ``info_by_id`` maps final arc id -> (first_pt, last_pt, shoelace_partial)
     where the points are (x, y) tuples; endpoint equality is exact float
@@ -155,15 +188,7 @@ def backward_arcs(
     out = comb[np.sort(idx_arcs)].tolist()
 
     # NOTE: like the reference, `order` is the *last* split run's order
-    if order == 3:
-        if inner and winding_order == "CCW_CW":
-            need_ccw = False
-        elif not inner and (winding_order == "CW_CCW" or winding_order is None):
-            need_ccw = False
-        else:
-            need_ccw = True
-        out = _resolve_orient(out, need_ccw, info_by_id)
-    return [int(v) for v in out]
+    return [int(v) for v in out], order
 
 
 def _resolve_orient(arcs_idx: List[int], need_ccw: bool, info_by_id: dict):
@@ -205,6 +230,19 @@ _RESOLVED_D_SCHEMA = T.StructType(
 )
 
 
+def arc_summary_cols():
+    """Endpoint + open-chain-shoelace summary projection over an arc row's
+    ``coords`` — materialized into pmap by the dedup stage so the hashmap
+    stage never joins the arc store (one less shuffle pair per pipeline)."""
+    return [
+        F.expr("coords[0]").alias("fx"),
+        F.expr("coords[1]").alias("fy"),
+        F.expr("element_at(coords, -2)").alias("lx"),
+        F.expr("element_at(coords, -1)").alias("ly"),
+        F.expr(_SHL_EXPR).alias("shl"),
+    ]
+
+
 def hashmap_stage(
     line_refs: DataFrame,
     pmap: DataFrame,
@@ -216,33 +254,26 @@ def hashmap_stage(
     Scale design — resolve per DISTINCT line: the signed-arc decision is a
     function of (the line's arc sequence, inner-vs-outer ring, winding
     option) only, and the arc sequence is a function of the line digest. So
-    the sequential reference logic runs once per (ldig, inner) and the
-    result joins back to the O(features) rows — duplicate-heavy corpora
-    never repeat it.
+    the sequential reference logic runs once per ldig — both ring
+    polarities come out of a single backward_arcs_core pass (the winding
+    double-check is polarity-dependent but endpoint-cheap) — and the result
+    joins back to the O(features) rows on (ldig, inner); duplicate-heavy
+    corpora never repeat it. ``arcs_final`` is unused (summaries ride pmap,
+    see arc_summary_cols); kept in the signature for call-site clarity.
     """
     winding = options.winding_order
-
-    summary = arcs_final.select(
-        F.col("final_idx").alias("_fi"),
-        F.expr("coords[0]").alias("_fx"),
-        F.expr("coords[1]").alias("_fy"),
-        F.expr("element_at(coords, -2)").alias("_lx"),
-        F.expr("element_at(coords, -1)").alias("_ly"),
-        F.expr(_SHL_EXPR).alias("_shl"),
-    )
 
     # per-distinct-line ordered entries, shipped to Python as parallel
     # PRIMITIVE arrays (Arrow hands them over as numpy arrays) —
     # array-of-struct would surface as one Python dict per entry
-    entries = (
-        pmap.join(summary, on=pmap["final_idx"] == F.col("_fi"))
-        .groupBy("ldig")
+    per_line = (
+        pmap.groupBy("ldig")
         .agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
                         "split_seq", "final_idx", "is_shared",
-                        "_fx", "_fy", "_lx", "_ly", "_shl",
+                        "fx", "fy", "lx", "ly", "shl",
                     )
                 )
             ).alias("entries")
@@ -251,18 +282,13 @@ def hashmap_stage(
             "ldig",
             F.expr("transform(entries, e -> e.final_idx)").alias("ids"),
             F.expr("transform(entries, e -> e.is_shared)").alias("shr"),
-            F.expr("transform(entries, e -> e._fx)").alias("fx"),
-            F.expr("transform(entries, e -> e._fy)").alias("fy"),
-            F.expr("transform(entries, e -> e._lx)").alias("lx"),
-            F.expr("transform(entries, e -> e._ly)").alias("ly"),
-            F.expr("transform(entries, e -> e._shl)").alias("shl"),
+            F.expr("transform(entries, e -> e.fx)").alias("fx"),
+            F.expr("transform(entries, e -> e.fy)").alias("fy"),
+            F.expr("transform(entries, e -> e.lx)").alias("lx"),
+            F.expr("transform(entries, e -> e.ly)").alias("ly"),
+            F.expr("transform(entries, e -> e.shl)").alias("shl"),
         )
     )
-    # a line is resolved once per ring-position polarity it appears in
-    inners = line_refs.select(
-        "ldig", (F.col("ring_seq") > 0).alias("inner")
-    ).distinct()
-    per_line = entries.join(inners, on="ldig")
 
     def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -276,16 +302,20 @@ def hashmap_stage(
                             ids, row.fx, row.fy, row.lx, row.ly, row.shl
                         )
                     }
-                    signed = backward_arcs(
-                        ids,
-                        [bool(b) for b in row.shr],
-                        info,
-                        inner=bool(row.inner),
-                        winding_order=winding,
+                    base, order = backward_arcs_core(
+                        ids, [bool(b) for b in row.shr], info
                     )
+                    for inner in (False, True):
+                        out.append((
+                            row.ldig,
+                            inner,
+                            resolve_ring_winding(
+                                base, order, info, inner, winding
+                            ),
+                        ))
                 else:
-                    signed = ids
-                out.append((row.ldig, row.inner, signed))
+                    out.append((row.ldig, False, ids))
+                    out.append((row.ldig, True, ids))
             yield pd.DataFrame(
                 out, columns=[f.name for f in _RESOLVED_D_SCHEMA.fields]
             )

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from ..functions import kernels as K
 from ..options import TopoOptions
+from ..plans.pin import pin
 
 COORDS_T = T.ArrayType(T.DoubleType())  # flat interleaved x,y
 
@@ -309,10 +310,12 @@ def candidate_pairs(
     return pair_ids.join(coords_a, on="lid_a").join(coords_b, on="lid_b")
 
 
-def junctions_path_connected(
+def junctions_path_connected_pairwise(
     lines_with_lid: DataFrame, bbox: Tuple, cell: Optional[float] = None
 ) -> DataFrame:
-    """Path-connected junction detection (join.py:200-226).
+    """Pairwise (Arrow-kernel) junction detection — the reference
+    implementation the relational engine below is validated against, and
+    the fallback for corpora that defeat its cell heuristics.
 
     Candidate pairs -> drop path-equal pairs (shapely ``equals`` analog via
     normalize_path) -> collinear overlap pieces -> linemerge -> endpoints.
@@ -358,6 +361,281 @@ def junctions_path_connected(
     # join.py:219-226); chain endpoints are copies of input vertices, so
     # bit-exact equality is the right merge key
     return raw.dropDuplicates(["jx", "jy"])
+
+
+def _normz(c: str):
+    """-0.0 -> +0.0 (IEEE: -0.0 + 0.0 == +0.0), matching the kernel's
+    ``pts + 0.0`` key normalization (kernels._undirected_seg_keys)."""
+    return F.col(c) + F.lit(0.0)
+
+
+def _explode_segments(reps: DataFrame) -> DataFrame:
+    """One row per non-degenerate segment of each path representative:
+    original endpoints (ax, ay, bx, by) in traversal order + the canonical
+    undirected key (kx1..ky2: endpoint-sorted, -0.0-normalized). Degenerate
+    (zero-length) segments are inert in the kernel (never emitted, rr == 0
+    skips them in the sweep, and their keys only ever match other degenerate
+    segments), so they are dropped here outright."""
+    seg_expr = """
+      filter(transform(sequence(0, (size(coords) div 2) - 2), i -> named_struct(
+        'ax', coords[2*i],     'ay', coords[2*i+1],
+        'bx', coords[2*i+2],   'by', coords[2*i+3])),
+        s -> NOT (s.ax = s.bx AND s.ay = s.by))
+    """
+    segs = reps.select("lid", F.explode(F.expr(seg_expr)).alias("s")).select(
+        "lid",
+        F.col("s.ax").alias("ax"), F.col("s.ay").alias("ay"),
+        F.col("s.bx").alias("bx"), F.col("s.by").alias("by"),
+    )
+    swap = (_normz("bx") < _normz("ax")) | (
+        (_normz("bx") == _normz("ax")) & (_normz("by") < _normz("ay"))
+    )
+    return segs.select(
+        "lid", "ax", "ay", "bx", "by",
+        F.when(swap, _normz("bx")).otherwise(_normz("ax")).alias("kx1"),
+        F.when(swap, _normz("by")).otherwise(_normz("ay")).alias("ky1"),
+        F.when(swap, _normz("ax")).otherwise(_normz("bx")).alias("kx2"),
+        F.when(swap, _normz("ay")).otherwise(_normz("by")).alias("ky2"),
+    )
+
+
+_KEYS = ["kx1", "ky1", "kx2", "ky2"]
+_PAIR = ["lid_a", "lid_b"]
+
+_T2_SCHEMA = T.StructType(
+    [T.StructField("jx", T.DoubleType()), T.StructField("jy", T.DoubleType())]
+)
+
+
+def junctions_path_connected(
+    lines_with_lid: DataFrame, bbox: Tuple, cell: Optional[float] = None
+) -> DataFrame:
+    """Path-connected junction detection (reference join.py:200-226) as a
+    RELATIONAL plan — the pairwise Arrow kernel re-expressed so the hot path
+    is whole-stage codegen; Python touches only the rare cycle-shaped pairs.
+
+    Semantics mirrored 1:1 from line_pair_shared_segments +
+    merge_segments_to_chains (kernels.py:388-460), validated against the
+    85-case reference junction suite:
+
+    1. One representative line per spatial path (pdig canonicalizes
+       rotation/direction/collinear vertices = the reference's
+       ``geom1.equals(geom2)`` pair filter).
+    2. MATCHED overlap pieces: segments bit-identical (undirected) in two
+       different paths, found by a single equi-join on the canonical
+       endpoint key — the kernel's fast path, no pair enumeration at all.
+    3. RESIDUE pieces (vertex-misaligned collinear overlaps): segment pairs
+       co-located in a fine grid cell, filtered by the kernel's EXACT
+       float64 collinearity + 1-D interval math transcribed into SQL
+       doubles (same IEEE ops, same comparisons, same endpoint selection).
+       Pairs where both segments are key-matched are excluded, matching the
+       kernel's documented deviation. Cell co-location is sound: two
+       overlapping collinear segments always share a covered cell.
+    4. Pieces deduped per pair on the 1e-8-snapped canonical form
+       (kernel _dedupe_segments; matched pieces win representative ties).
+    5. Chain endpoints: a vertex (1e-8-snapped, the kernel's vertex_keys
+       snap) is a chain endpoint iff its piece-degree within the pair is
+       != 2 — exactly where merge_lines stops a traversal. Every raw
+       coordinate variant at such a vertex is emitted, matching the
+       kernel's per-chain raw-endpoint emission.
+    6. Pairs whose piece set has NO degree != 2 vertex (pure cycles — e.g.
+       a line traversing a ring's full boundary plus extra parts) fall back
+       to the exact Python chain merge on just their pieces.
+
+    Returns distinct (jx, jy).
+    """
+    reps = lines_with_lid.groupBy("pdig").agg(
+        F.min("lid").alias("lid"),
+        # min_by: deterministic representative (first() varies across runs,
+        # and path-equal variants may differ in collinear filler vertices)
+        F.min_by("coords", "lid").alias("coords"),
+    )
+    segs = pin(_explode_segments(reps))
+
+    # ---- matched pieces: one equi-join, no pair enumeration ----
+    b_side = segs.select(
+        F.col("lid").alias("lid_b"), *[F.col(k) for k in _KEYS]
+    )
+    matched = (
+        segs.withColumnRenamed("lid", "lid_a")
+        .join(b_side, on=_KEYS)
+        .where(F.col("lid_a") < F.col("lid_b"))
+        .select(
+            *_PAIR, *_KEYS,
+            # the kernel emits side a's original orientation (p -> p + r)
+            F.col("ax").alias("px1"), F.col("ay").alias("py1"),
+            F.col("bx").alias("px2"), F.col("by").alias("py2"),
+        )
+    )
+
+    # ---- residue pieces: fine-cell co-location + exact collinear math ----
+    span = max(bbox[2] - bbox[0], bbox[3] - bbox[1]) if bbox else 0.0
+    if cell is not None and cell > 0:
+        fine = cell / 8.0
+    else:
+        fine = span / 1024 if span > 0 else 1.0
+    if span > 0:
+        fine = max(fine, span / 65536)
+
+    def with_cells(df: DataFrame, names) -> DataFrame:
+        bx0, by0 = (bbox[0], bbox[1]) if bbox else (0.0, 0.0)
+        ren = df.select(
+            F.col("lid").alias(names[0]),
+            *[F.col(c).alias(p) for c, p in zip(
+                ["ax", "ay", "bx", "by"], names[1:5])],
+            *[F.col(k).alias(p) for k, p in zip(_KEYS, names[5:9])],
+            F.explode(
+                F.sequence(
+                    F.floor((F.least("ax", "bx") - F.lit(bx0)) / F.lit(fine)),
+                    F.floor((F.greatest("ax", "bx") - F.lit(bx0)) / F.lit(fine)),
+                )
+            ).alias("cx"),
+            F.least("ay", "by").alias("_y0"),
+            F.greatest("ay", "by").alias("_y1"),
+        )
+        return ren.withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("_y0") - F.lit(by0)) / F.lit(fine)),
+                    F.floor((F.col("_y1") - F.lit(by0)) / F.lit(fine)),
+                )
+            ),
+        ).drop("_y0", "_y1")
+
+    ca = with_cells(segs, ["lid_a", "aax", "aay", "abx", "aby",
+                           "ak1", "ak2", "ak3", "ak4"])
+    cb = with_cells(segs, ["lid_b", "bax", "bay", "bbx", "bby",
+                           "bk1", "bk2", "bk3", "bk4"])
+    coloc = ca.join(cb, on=["cx", "cy"]).where(F.col("lid_a") < F.col("lid_b"))
+
+    # exact float64 collinearity + interval overlap (kernels.py:333-371,
+    # same IEEE double ops / comparisons as the numpy sweep)
+    rx = F.col("abx") - F.col("aax")
+    ry = F.col("aby") - F.col("aay")
+    sx = F.col("bbx") - F.col("bax")
+    sy = F.col("bby") - F.col("bay")
+    cross_rs = rx * sy - ry * sx
+    cross_qp_r = (F.col("bax") - F.col("aax")) * ry - (
+        F.col("bay") - F.col("aay")
+    ) * rx
+    rr = rx * rx + ry * ry
+    t0r = ((F.col("bax") - F.col("aax")) * rx
+           + (F.col("bay") - F.col("aay")) * ry) / rr
+    t1r = ((F.col("bbx") - F.col("aax")) * rx
+           + (F.col("bby") - F.col("aay")) * ry) / rr
+    swapped = t0r > t1r
+    t0 = F.when(swapped, t1r).otherwise(t0r)
+    t1 = F.when(swapped, t0r).otherwise(t1r)
+    blox = F.when(swapped, F.col("bbx")).otherwise(F.col("bax"))
+    bloy = F.when(swapped, F.col("bby")).otherwise(F.col("bay"))
+    bhix = F.when(swapped, F.col("bax")).otherwise(F.col("bbx"))
+    bhiy = F.when(swapped, F.col("bay")).otherwise(F.col("bby"))
+    lo = F.greatest(t0, F.lit(0.0))
+    hi = F.least(t1, F.lit(1.0))
+
+    residue_raw = (
+        coloc.where((cross_rs == 0) & (cross_qp_r == 0))
+        .where(hi - lo > 0)
+        .withColumn("px1", F.when(t0 <= 0, F.col("aax")).otherwise(blox))
+        .withColumn("py1", F.when(t0 <= 0, F.col("aay")).otherwise(bloy))
+        .withColumn("px2", F.when(t1 >= 1, F.col("abx")).otherwise(bhix))
+        .withColumn("py2", F.when(t1 >= 1, F.col("aby")).otherwise(bhiy))
+    )
+    # kernel deviation preserved: a matched x matched (non-identical) pair
+    # is never swept — exclude rows where BOTH sides are key-matched
+    mkeys = matched.select(*_PAIR, *_KEYS).dropDuplicates()
+    ma = mkeys.select(
+        *_PAIR,
+        *[F.col(k).alias(f"ak{i + 1}") for i, k in enumerate(_KEYS)],
+        F.lit(True).alias("_ma"),
+    )
+    mb = mkeys.select(
+        *_PAIR,
+        *[F.col(k).alias(f"bk{i + 1}") for i, k in enumerate(_KEYS)],
+        F.lit(True).alias("_mb"),
+    )
+    residue = (
+        residue_raw.join(ma, on=_PAIR + ["ak1", "ak2", "ak3", "ak4"],
+                         how="left")
+        .join(mb, on=_PAIR + ["bk1", "bk2", "bk3", "bk4"], how="left")
+        .where(~(F.col("_ma").isNotNull() & F.col("_mb").isNotNull()))
+        .select(*_PAIR, "px1", "py1", "px2", "py2")
+    )
+
+    # ---- dedupe pieces per pair on the snapped canonical form ----
+    pieces = matched.select(
+        *_PAIR, "px1", "py1", "px2", "py2"
+    ).withColumn("prio", F.lit(0)).unionByName(
+        residue.withColumn("prio", F.lit(1))
+    )
+    c1x = F.bround(F.col("px1") * F.lit(K.VERTEX_TOL)).cast("long")
+    c1y = F.bround(F.col("py1") * F.lit(K.VERTEX_TOL)).cast("long")
+    c2x = F.bround(F.col("px2") * F.lit(K.VERTEX_TOL)).cast("long")
+    c2y = F.bround(F.col("py2") * F.lit(K.VERTEX_TOL)).cast("long")
+    fwd = (c1x < c2x) | ((c1x == c2x) & (c1y <= c2y))
+    pieces_d = pin(
+        pieces.withColumn("clx", F.when(fwd, c1x).otherwise(c2x))
+        .withColumn("cly", F.when(fwd, c1y).otherwise(c2y))
+        .withColumn("chx", F.when(fwd, c2x).otherwise(c1x))
+        .withColumn("chy", F.when(fwd, c2y).otherwise(c1y))
+        .groupBy(*_PAIR, "clx", "cly", "chx", "chy")
+        .agg(
+            F.min(
+                F.struct("prio", "px1", "py1", "px2", "py2")
+            ).alias("p")
+        )
+        .select(
+            *_PAIR,
+            F.col("p.px1").alias("px1"), F.col("p.py1").alias("py1"),
+            F.col("p.px2").alias("px2"), F.col("p.py2").alias("py2"),
+        )
+    )
+
+    # ---- chain endpoints: piece-degree != 2 on snapped vertex keys ----
+    ends = pieces_d.select(
+        *_PAIR, F.col("px1").alias("vx"), F.col("py1").alias("vy")
+    ).unionByName(
+        pieces_d.select(
+            *_PAIR, F.col("px2").alias("vx"), F.col("py2").alias("vy")
+        )
+    ).withColumn(
+        "kvx", F.bround(F.col("vx") * F.lit(K.VERTEX_TOL)).cast("long")
+    ).withColumn(
+        "kvy", F.bround(F.col("vy") * F.lit(K.VERTEX_TOL)).cast("long")
+    )
+    deg = ends.groupBy(*_PAIR, "kvx", "kvy").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t1_junc = (
+        ends.join(deg.where(F.col("n") != 2),
+                  on=_PAIR + ["kvx", "kvy"])
+        .select(F.col("vx").alias("jx"), F.col("vy").alias("jy"))
+    )
+
+    # ---- cycle-shaped pairs (no open vertex): exact Python chain merge ----
+    open_pairs = deg.groupBy(*_PAIR).agg(
+        F.max((F.col("n") != 2).cast("int")).alias("has_open")
+    )
+    t2_pairs = open_pairs.where(F.col("has_open") == 0).select(*_PAIR)
+
+    def merge_cycles(pdf: pd.DataFrame) -> pd.DataFrame:
+        segs_np = pdf[["px1", "py1", "px2", "py2"]].to_numpy(dtype=np.float64)
+        xs, ys = [], []
+        for chain in K.merge_segments_to_chains(segs_np):
+            xs.extend((chain[0][0], chain[-1][0]))
+            ys.extend((chain[0][1], chain[-1][1]))
+        return pd.DataFrame({"jx": xs, "jy": ys})
+
+    t2_junc = (
+        pieces_d.join(t2_pairs, on=_PAIR, how="leftsemi")
+        .groupBy(*_PAIR)
+        .applyInPandas(
+            lambda key, pdf: merge_cycles(pdf), schema=_T2_SCHEMA
+        )
+    )
+
+    return t1_junc.unionByName(t2_junc).dropDuplicates(["jx", "jy"])
 
 
 # ------------------------------------------------------------ stage API

@@ -76,3 +76,25 @@ def pin_truncate(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER
     )
+
+
+def release_pins(spark) -> int:
+    """Drop every block the engine has pinned in this session: the SQL
+    cache (``pin``) and all persistent RDDs, which is where
+    ``localCheckpoint`` blocks live (``pin_truncate``).
+
+    Long-lived drivers (notebooks, services) that build many topologies
+    accumulate stage blocks otherwise — each construction pins a handful of
+    stage outputs that nothing releases, and on a shared cluster that is
+    executor memory taken from every subsequent job. Call between
+    constructions once a Topology's outputs have been written/collected.
+    Returns the number of RDDs unpersisted. Frames produced by
+    ``pin_truncate`` are NOT recomputable afterwards (lineage was
+    truncated) — re-run the pipeline or use durable checkpoints if the
+    outputs are still needed."""
+    spark.catalog.clearCache()
+    # py4j surfaces the java.util.Map as a dict-like JavaMap
+    rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for r in rdds:
+        r.unpersist()
+    return len(rdds)
