@@ -243,3 +243,45 @@ def test_multi_shared_paths_form_geometrycollection(spark):
         "b": {"type": "Polygon", "coordinates": [p1]},
     })
     assert len(j) == 2
+
+
+def test_diagonal_collinear_overlap_vertex_misaligned(spark):
+    # Vertex-misaligned collinear overlap on a LONG DIAGONAL: exercises the
+    # x-slab segment rasterization (join._rasterize_segments) — the overlap
+    # must be found from a shared fine-grid cell without the bbox
+    # cross-product blowup. Junctions = endpoints of the overlap piece.
+    j = junctions(spark, {
+        "long": {"type": "LineString",
+                 "coordinates": [[0, 0], [1000, 1000]]},
+        "short": {"type": "LineString",
+                  "coordinates": [[400, 400], [600, 600]]},
+    })
+    assert j == {(400.0, 400.0), (600.0, 600.0)}
+
+
+def test_rasterize_segments_linear_cell_cover(spark):
+    # A diagonal segment covering K cells per axis must emit O(K) cell
+    # rows (x-slab rasterization), not the O(K^2) bbox cross product.
+    from pyspark.sql import functions as F
+
+    from topojson_spark.operators.join import (
+        _explode_segments,
+        _rasterize_segments,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 1000.0, 1000.0])], "lid long, coords array<double>"
+    )
+    segs = _explode_segments(df.select("lid", "coords"))
+    fine = 1000.0 / 1024
+    cells = _rasterize_segments(
+        segs, ["lid_a", "aax", "aay", "abx", "aby",
+               "ak1", "ak2", "ak3", "ak4"],
+        (0.0, 0.0, 1000.0, 1000.0), fine)
+    n = cells.count()
+    # true cover ~2*1025 cells; ±1-cell padding triples it at most
+    assert 1024 <= n <= 8 * 1025
+    # and the cover is sound: every true cell along the diagonal is present
+    got = {(r["cx"], r["cy"]) for r in cells.select("cx", "cy").collect()}
+    for i in range(1025):
+        assert (i, i) in got

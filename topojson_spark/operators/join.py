@@ -399,6 +399,57 @@ def _explode_segments(reps: DataFrame) -> DataFrame:
     )
 
 
+def _rasterize_segments(
+    df: DataFrame, names, bbox, fine: float
+) -> DataFrame:
+    """Rasterize each segment of ``_explode_segments`` output onto the
+    fine grid: one row per covered cell (cx, cy), columns renamed per
+    ``names`` = [lid, ax, ay, bx, by, k1..k4].
+
+    X-SLAB method: explode the x-cell range, then within each x-slab emit
+    only the y-cells the segment actually spans there (±1 cell padding
+    absorbs float rounding) — O(cells touched). The bbox cross product
+    (x-range × y-range) is quadratically larger for long diagonal
+    segments: K cells per axis would emit K² rows for a ~2K-cell cover.
+    Extra padded cells are harmless: candidate pairs only feed the EXACT
+    collinear filter downstream. Soundness needs each segment's emitted
+    set to be a SUPERSET of the cells it truly intersects — within an
+    x-slab the segment's y-extent is the interval between its y values at
+    the slab's clamped x bounds (linear in x), padded ±1 cell and
+    re-clamped to the segment's own y range (near-vertical slopes
+    overflow the interpolation otherwise, and Spark's sequence() silently
+    REVERSES when start > stop instead of erroring)."""
+    bx0, by0 = (bbox[0], bbox[1]) if bbox else (0.0, 0.0)
+    ren = df.select(
+        F.col("lid").alias(names[0]),
+        *[F.col(c).alias(p) for c, p in zip(
+            ["ax", "ay", "bx", "by"], names[1:5])],
+        *[F.col(k).alias(p) for k, p in zip(_KEYS, names[5:9])],
+        F.explode(
+            F.sequence(
+                F.floor((F.least("ax", "bx") - F.lit(bx0)) / F.lit(fine)),
+                F.floor((F.greatest("ax", "bx") - F.lit(bx0)) / F.lit(fine)),
+            )
+        ).alias("cx"),
+    )
+    ax, ay, bx, by = (F.col(c) for c in names[1:5])
+    slab_lo = F.lit(bx0) + F.col("cx") * F.lit(fine)
+    xlo = F.greatest(F.least(ax, bx), slab_lo)
+    xhi = F.least(F.greatest(ax, bx), slab_lo + F.lit(fine))
+    dx = bx - ax
+    t_lo = F.when(dx == 0, F.lit(0.0)).otherwise((xlo - ax) / dx)
+    t_hi = F.when(dx == 0, F.lit(1.0)).otherwise((xhi - ax) / dx)
+    y_at_lo = ay + t_lo * (by - ay)
+    y_at_hi = ay + t_hi * (by - ay)
+    y0s = F.greatest(F.least(y_at_lo, y_at_hi), F.least(ay, by))
+    y1s = F.least(F.greatest(y_at_lo, y_at_hi), F.greatest(ay, by))
+    cy_min = F.floor((F.least(ay, by) - F.lit(by0)) / F.lit(fine))
+    cy_max = F.floor((F.greatest(ay, by) - F.lit(by0)) / F.lit(fine))
+    cy_lo = F.greatest(F.floor((y0s - F.lit(by0)) / F.lit(fine)) - 1, cy_min)
+    cy_hi = F.least(F.floor((y1s - F.lit(by0)) / F.lit(fine)) + 1, cy_max)
+    return ren.withColumn("cy", F.explode(F.sequence(cy_lo, cy_hi)))
+
+
 _KEYS = ["kx1", "ky1", "kx2", "ky2"]
 _PAIR = ["lid_a", "lid_b"]
 
@@ -477,36 +528,12 @@ def junctions_path_connected(
     if span > 0:
         fine = max(fine, span / 65536)
 
-    def with_cells(df: DataFrame, names) -> DataFrame:
-        bx0, by0 = (bbox[0], bbox[1]) if bbox else (0.0, 0.0)
-        ren = df.select(
-            F.col("lid").alias(names[0]),
-            *[F.col(c).alias(p) for c, p in zip(
-                ["ax", "ay", "bx", "by"], names[1:5])],
-            *[F.col(k).alias(p) for k, p in zip(_KEYS, names[5:9])],
-            F.explode(
-                F.sequence(
-                    F.floor((F.least("ax", "bx") - F.lit(bx0)) / F.lit(fine)),
-                    F.floor((F.greatest("ax", "bx") - F.lit(bx0)) / F.lit(fine)),
-                )
-            ).alias("cx"),
-            F.least("ay", "by").alias("_y0"),
-            F.greatest("ay", "by").alias("_y1"),
-        )
-        return ren.withColumn(
-            "cy",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("_y0") - F.lit(by0)) / F.lit(fine)),
-                    F.floor((F.col("_y1") - F.lit(by0)) / F.lit(fine)),
-                )
-            ),
-        ).drop("_y0", "_y1")
-
-    ca = with_cells(segs, ["lid_a", "aax", "aay", "abx", "aby",
-                           "ak1", "ak2", "ak3", "ak4"])
-    cb = with_cells(segs, ["lid_b", "bax", "bay", "bbx", "bby",
-                           "bk1", "bk2", "bk3", "bk4"])
+    ca = _rasterize_segments(
+        segs, ["lid_a", "aax", "aay", "abx", "aby",
+               "ak1", "ak2", "ak3", "ak4"], bbox, fine)
+    cb = _rasterize_segments(
+        segs, ["lid_b", "bax", "bay", "bbx", "bby",
+               "bk1", "bk2", "bk3", "bk4"], bbox, fine)
     coloc = ca.join(cb, on=["cx", "cy"]).where(F.col("lid_a") < F.col("lid_b"))
 
     # exact float64 collinearity + interval overlap (kernels.py:333-371,
