@@ -445,10 +445,13 @@ CASES = {
 }
 
 
+@pytest.mark.parametrize("engine", ["pairwise", "relational"])
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_ref_join_case(spark, name):
+def test_ref_join_case(spark, name, engine):
     data, kw, expected, _ref = CASES[name]
-    t = Topology(data, spark=spark, **{**STAGE, **kw})
+    t = Topology(
+        data, spark=spark, junction_engine=engine, **{**STAGE, **kw}
+    )
     got = t.junction_points()
     if isinstance(expected, int):
         assert len(got) == expected

@@ -59,7 +59,7 @@ n_lines = lines0.count()
 t["extract_parse"] = time.time() - t0
 
 t0 = time.time()
-bbox, avg_wh = J.compute_bbox_stats(lines0, points0)
+bbox, avg_wh, max_pts = J.compute_bbox_stats(lines0, points0)
 t["bbox_agg"] = time.time() - t0
 cell = max(avg_wh) if avg_wh else None
 

@@ -73,9 +73,14 @@ def pin_truncate(df: DataFrame) -> DataFrame:
         return _pin_durable(df)
     if os.environ.get("SPARK_GRAFT_NO_TRUNCATE"):
         return pin(df)
-    return df.localCheckpoint(
-        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER
+    # serialized pins (+ spark.rdd.compress) trade CPU for block bytes —
+    # the right trade when memory bandwidth, not compute, caps scaling
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if os.environ.get("SPARK_GRAFT_PIN_SER")
+        else StorageLevel.MEMORY_AND_DISK_DESER
     )
+    return df.localCheckpoint(eager=False, storageLevel=level)
 
 
 def release_pins(spark) -> int:

@@ -68,6 +68,16 @@ def get_spark(
         .config("spark.sql.maxPlanStringLength", "100000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # block/shuffle codec: on memory-bandwidth-starved hosts a stronger
+        # codec trades (well-scaling) CPU for (non-scaling) bytes moved
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.rdd.compress",
+            os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
