@@ -129,41 +129,15 @@ def main():
     }
     print(json.dumps(report, indent=2))
 
+    # append raw run records; BENCH/BASELINE.md is the human-authored
+    # report (numbers + hardware attribution) and must not be clobbered
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# BENCH/BASELINE — two-parallelism scaling evidence "
-            "(north rule protocol)\n\n"
-            "Same topology job (parquet documents table -> "
-            "extract->join->cut->dedup->hashmap,\n"
-            f"{n_docs} docs, {grid}x{grid} mosaic, verts_per_edge={vpe};\n"
-            "every document carries distinct geometry so work scales with "
-            "documents),\nsame input at every parallelism level, fresh JVM "
-            "+ taskset pinning each, best of "
-            f"{int(os.environ.get('REPEATS', '2'))} runs.\n"
-            "The corpus is pre-written to parquet OUTSIDE the timed region: "
-            "the north-rule\njob reads an existing table of interleaved "
-            "documents (BASELINE.json input_hint);\nthe synthetic doc "
-            "generator is scaffolding, not engine.\n"
-            "AQE is disabled for this job: its per-exchange driver re-plan "
-            "is a fixed ~45s of serial\nlatency at sandbox data sizes, "
-            "identical at every parallelism level (see\n"
-            "topojson_spark/session.py get_spark docstring).\n\n"
-            "| pair | N wall s | N docs/s | 4N wall s | 4N docs/s | "
-            "efficiency | arcs |\n|---|---|---|---|---|---|---|\n"
-        )
-        for k, (rs, rb, eff) in results.items():
-            f.write(
-                f"| {k} cores | {rs['sec']:.2f} | "
-                f"{rs['docs_per_sec']:.1f} | {rb['sec']:.2f} | "
-                f"{rb['docs_per_sec']:.1f} | **{eff:.3f}** | "
-                f"{rb['n_arcs']} |\n"
-            )
-        f.write(
-            "\n(target >= 0.8)\n\n"
-            "Determinism check: arc counts identical at every parallelism "
-            "level (content-derived\nids; no partition-order dependence).\n"
-        )
+    with open(f"{REPO}/BENCH/scaling_runs.jsonl", "a") as f:
+        f.write(json.dumps({
+            "n_docs": n_docs, "grid": grid, "vpe": vpe,
+            "repeats": int(os.environ.get("REPEATS", "2")),
+            "report": report,
+        }) + "\n")
     return 0
 
 

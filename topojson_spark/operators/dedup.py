@@ -347,7 +347,9 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         "is_shared",
         "coords",
     )
-    arcs_final = dense_index(kept_flat, ["_f", "_u", "_r", "_s"], "final_idx")
+    arcs_final = dense_index(
+        kept_flat, ["_f", "_u", "_r", "_s"], "final_idx", key_cols=["kept"]
+    )
     arcs_final = arcs_final.select("kept", "final_idx", "is_shared", "coords")
 
     # pmap carries the fixed-size endpoint/shoelace summary of each arc

@@ -29,9 +29,23 @@ def dense_index(
     order_cols: Sequence[str],
     out_col: str = "idx",
     num_partitions: int | None = None,
+    key_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Attach a dense 0-based long ``out_col`` following the total order of
-    ``order_cols``. Deterministic for a given input dataset."""
+    ``order_cols``. Deterministic for a given input dataset.
+
+    With ``key_cols`` (a unique key), the two-phase machinery runs over a
+    NARROW (key + order) projection and the ids join back on the key —
+    wide payload columns (coordinate arrays) cross the wire once, in the
+    final hash join, instead of riding the range shuffle + cache + Arrow
+    attach round-trip. Use whenever ``df`` carries payload wider than its
+    keys; bytes moved per id minted drop by ~2 full passes of the frame."""
+    if key_cols:
+        narrow = df.select(*dict.fromkeys([*key_cols, *order_cols]))
+        ids = dense_index(narrow, order_cols, out_col, num_partitions)
+        return df.join(
+            ids.select(*key_cols, out_col), on=list(key_cols)
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     arranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)

@@ -106,8 +106,15 @@ def verify_manifest(spark, path: str) -> bool:
     """Recompute the manifest of a checkpointed table and compare the
     order-insensitive totals (row count + xor of partition xors): True when
     the on-disk data matches what was recorded at write time."""
-    data = spark.read.parquet(path)
-    want = spark.read.parquet(path + "_manifest")
+    from pyspark.errors import AnalysisException
+
+    try:
+        data = spark.read.parquet(path)
+        want = spark.read.parquet(path + "_manifest")
+    except AnalysisException:
+        # a table whose every data file is gone cannot even report a
+        # schema — that IS a failed verification, not an internal error
+        return False
     got = partition_manifest(data)
 
     def fold(mdf):
