@@ -189,3 +189,40 @@ def test_durable_stage_checkpoints_and_mid_pipeline_resume(spark, tmp_path):
     # no resume flag -> stages overwritten from the new input
     t4 = Topology(poisoned, prequantize=False, checkpoint_dir=ckpt)
     assert t4.arcs.count() != n1
+
+
+def test_features_from_documents_non_numeric_doc_ids(spark):
+    """Non-numeric doc_ids must get an EXACT dense feature order (a hashed
+    surrogate can collide, merging two documents' feature identity); the
+    numeric-suffix corpus invariant keeps the narrow arithmetic path."""
+    from topojson_spark.operators.extract import features_from_documents
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    line = '{"type":"LineString","coordinates":[[0,0],[1,0]]}'
+    span = {"kind": "geometry", "text": line, "media_ref": None, "offset": 0}
+    docs = spark.createDataFrame(
+        [("zebra", [span]), ("apple", [span, dict(span, offset=5)])], schema
+    )
+    out = (
+        features_from_documents(docs)
+        .orderBy("feature_seq")
+        .select("feature_seq", "fkey")
+        .collect()
+    )
+    assert [r["feature_seq"] for r in out] == [0, 1, 2]
+    assert [r["fkey"] for r in out] == ["apple#0", "apple#1", "zebra#0"]
+
+    docs2 = spark.createDataFrame(
+        [("doc_0007", [span]), ("doc_0002", [span, dict(span, offset=5)])],
+        schema,
+    )
+    out2 = (
+        features_from_documents(docs2).orderBy("feature_seq")
+        .select("fkey").collect()
+    )
+    assert [r["fkey"] for r in out2] == [
+        "doc_0002#0", "doc_0002#1", "doc_0007#0",
+    ]

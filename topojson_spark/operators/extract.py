@@ -552,12 +552,37 @@ def features_from_documents(
     ).where(F.col("span.kind") == "geometry")
     # content-derived global order: doc number * 2^20 + span index
     docnum = F.regexp_extract("doc_id", r"(\d+)$", 1)
-    feature_seq = (
-        F.when(docnum != "", docnum.cast("long"))
-        .otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(0x7FFFFFFF)))
-        * F.lit(1 << 20)
-        + F.col("span_ix")
-    )
+    if not documents.isStreaming and (
+        documents.select("doc_id")
+        .where(F.regexp_extract("doc_id", r"(\d+)$", 1) == "")
+        .limit(1)
+        .count()
+        > 0
+    ):
+        # non-numeric doc_ids: a hashed surrogate can collide (two docs
+        # sharing a feature_seq merges their identity); mint the exact
+        # dense rank instead. One extra narrow pass, batch only.
+        from ..plans.ids import dense_index
+
+        spans = dense_index(
+            spans,
+            ["doc_id", "span_ix"],
+            "feature_seq",
+            key_cols=["doc_id", "span_ix"],
+        )
+        feature_seq = F.col("feature_seq")
+    else:
+        # numeric-suffix ids (the corpus invariant), or a streaming source
+        # where no action may run: 43-bit surrogate (2^43 * 2^20 still
+        # fits a long; collision odds for 10^9 distinct non-numeric ids
+        # ~1e-4 per pair-space — streaming callers with non-numeric ids
+        # should pre-assign numeric ids upstream)
+        feature_seq = (
+            F.when(docnum != "", docnum.cast("long"))
+            .otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(1 << 43)))
+            * F.lit(1 << 20)
+            + F.col("span_ix")
+        )
     return spans.select(
         feature_seq.alias("feature_seq"),
         F.concat_ws("#", "doc_id", F.col("span_ix").cast("string")).alias("fkey"),
