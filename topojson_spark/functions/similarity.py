@@ -160,10 +160,13 @@ def cosine_neardup_pairs(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
+    # pair enumeration, capping and dedup all run over NARROW
+    # (id, band, val) tuples; the embedding vectors join in once per pair
+    # side at the end — never duplicated per band and never dragged
+    # through the cap's rank window (candidate_pairs pattern)
     base = embeddings.select(F.col(id_col), F.col(vec_col), *band_vals)
     banded = base.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -174,21 +177,27 @@ def cosine_neardup_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select(id_col, vec_col, "bv.band", "bv.val")
+    ).select(id_col, "bv.band", "bv.val")
     banded = cap_bucket_members(banded, ["band", "val"], id_col, bucket_cap)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-        "band", "val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-        "band", "val",
-    )
-    pairs = (
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "val")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "val")
+    pair_ids = (
         a.join(b, on=["band", "val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    pairs = pair_ids.join(
+        vecs.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        ),
+        on="id_a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        ),
+        on="id_b",
     )
     dot = F.aggregate(
         F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
