@@ -171,3 +171,43 @@ def test_topojson_reingest_roundtrip(spark):
     # and the geojson export from the re-ingested topology still stitches
     fc = t2.to_geojson()
     assert len(fc["features"]) == 2
+
+
+def test_to_geojson_validate(spark):
+    """validate=True is the reference's assertion gate
+    (utils.py:549-553: buffer(0) + assert, original geometry serialized
+    either way): valid output passes, degenerate output raises."""
+    import numpy as np
+    import pytest
+
+    from topojson_spark.topology import (
+        Topology,
+        _assert_valid_geometry,
+        topology_to_geojson,
+    )
+
+    data = {
+        "a": {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+        }
+    }
+    t = Topology(data, spark=spark, prequantize=False)
+    fc = t.to_geojson(validate=True)
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 1
+
+    with pytest.raises(AssertionError, match="not closed"):
+        _assert_valid_geometry(
+            {"type": "Polygon",
+             "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1]]]}
+        )
+    with pytest.raises(AssertionError, match="zero area"):
+        _assert_valid_geometry(
+            {"type": "Polygon",
+             "coordinates": [[[0, 0], [1, 0], [0, 0], [0, 0]]]}
+        )
+    with pytest.raises(AssertionError, match="non-finite"):
+        _assert_valid_geometry(
+            {"type": "LineString",
+             "coordinates": [[0, 0], [float("nan"), 1]]}
+        )

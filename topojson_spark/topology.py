@@ -368,12 +368,19 @@ class Topology:
 
     # -------------------------------------------------------- geojson export
 
-    def to_geojson(self, winding_order: str = "CCW_CW", decimals=None) -> dict:
+    def to_geojson(
+        self,
+        winding_order: str = "CCW_CW",
+        decimals=None,
+        validate: bool = False,
+    ) -> dict:
         """Inverse query: stitch arcs back into feature coordinates —
-        utils.py:500-558 + the coordinate decoder utils.py:105-133."""
+        utils.py:500-558 + the coordinate decoder utils.py:105-133.
+        ``validate=True`` asserts output-geometry validity (the
+        reference's buffer(0)+assert gate; see _assert_valid_geometry)."""
         topo = self.to_dict()
         return topology_to_geojson(topo, winding_order=winding_order,
-                                   decimals=decimals)
+                                   decimals=decimals, validate=validate)
 
     @property
     def __geo_interface__(self) -> dict:
@@ -674,9 +681,65 @@ def _enforce_winding(geom: dict, order: str) -> dict:
     return geom
 
 
+def _assert_valid_geometry(geom: dict) -> None:
+    """validate=True analog of serialize_as_geojson (utils.py:549-553).
+
+    The reference computes ``shape(geom).buffer(0)``, asserts the REPAIR is
+    valid, then serializes the ORIGINAL geometry either way — i.e. its
+    validate option is an assertion gate, not a repair. Without shapely we
+    assert the checkable invariants directly: finite coordinates, rings
+    closed with >= 4 positions and non-zero area, lines with >= 2
+    positions. Raises AssertionError (matching the reference's failure
+    mode) naming the defect."""
+
+    def rings(g):
+        t, c = g.get("type"), g.get("coordinates")
+        if t == "Polygon":
+            return c
+        if t == "MultiPolygon":
+            return [r for poly in c for r in poly]
+        return []
+
+    def lines(g):
+        t, c = g.get("type"), g.get("coordinates")
+        if t == "LineString":
+            return [c]
+        if t == "MultiLineString":
+            return c
+        return []
+
+    if geom.get("type") == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            _assert_valid_geometry(g)
+        return
+    coords = geom.get("coordinates")
+    if coords is not None:
+        flat = np.asarray(
+            [p for p in _walk_positions(coords)], dtype=np.float64
+        )
+        assert flat.size == 0 or np.isfinite(flat).all(), (
+            "geometry has non-finite coordinates"
+        )
+    for ring in rings(geom):
+        assert len(ring) >= 4, f"ring has {len(ring)} positions (< 4)"
+        assert ring[0] == ring[-1], "ring is not closed"
+        area = K.signed_area(np.asarray(ring, dtype=np.float64))
+        assert area != 0.0, "ring has zero area"
+    for line in lines(geom):
+        assert len(line) >= 2, f"linestring has {len(line)} positions (< 2)"
+
+
+def _walk_positions(coords):
+    if coords and isinstance(coords[0], (int, float)):
+        yield coords
+        return
+    for c in coords:
+        yield from _walk_positions(c)
+
+
 def topology_to_geojson(
     topo: dict, objectname: str = None, winding_order: str = "CCW_CW",
-    decimals=None,
+    decimals=None, validate: bool = False,
 ) -> dict:
     """Port of serialize_as_geojson (utils.py:500-558)."""
     transform = topo.get("transform")
@@ -696,6 +759,8 @@ def topology_to_geojson(
                 np.asarray(geom["coordinates"], dtype=np.float64), decimals
             ).tolist()
         geom = _enforce_winding(geom, winding_order)
+        if validate:
+            _assert_valid_geometry(geom)
         fc["features"].append(
             {
                 "id": feature.get("id", index),
