@@ -93,7 +93,14 @@ def main() -> None:
         "join_region",
     ]
     qs = E.queries()
+    from topojson_spark.plans.pin import release_pins
+
     for name in suite:
+        # drop blocks pinned by the previous query (the topology pipeline
+        # leaves several stage checkpoints resident) so each suite query is
+        # measured against executor memory it would actually have on a
+        # cluster, not under a prior job's cache pressure
+        release_pins(spark)
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

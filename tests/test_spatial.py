@@ -110,7 +110,9 @@ def test_pip_single_hot_polygon_splits_refine(spark):
     polys = spark.createDataFrame(
         [(7, 0, ring)], "poly_id long, ring_seq int, coords array<array<double>>"
     )
-    res = point_in_polygon_join(points, polys, (0, 0, 4, 4), level=5)
+    res = point_in_polygon_join(
+        points, polys, (0, 0, 4, 4), level=5, rows_per_bucket=500
+    )
     want = sorted(
         i for i, x, y in pts if 1.0 <= x <= 3.0 and 1.0 <= y <= 3.0
     )
@@ -119,12 +121,25 @@ def test_pip_single_hot_polygon_splits_refine(spark):
     # partitions; disable it to observe the task split the bucketing buys
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        n_tasks = (
-            res.select(F.spark_partition_id().alias("pid")).distinct().count()
-        )
+        def n_tasks(rpb):
+            out = point_in_polygon_join(
+                points, polys, (0, 0, 4, 4), level=5, rows_per_bucket=rpb
+            )
+            return (
+                out.select(F.spark_partition_id().alias("pid"))
+                .distinct()
+                .count()
+            )
+
+        hot = n_tasks(200)   # ~2.8k candidates -> ~15 buckets
+        cold = n_tasks(50_000)  # same candidates fit one bucket
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert n_tasks > 1
+    # refine parallelism scales with candidate volume: the same polygon
+    # saturates every shuffle partition (test session runs 4) when
+    # candidates >> rows_per_bucket and collapses to one group when they fit
+    assert hot == 4
+    assert cold == 1
 
 
 def test_knn_matches_brute_force(spark):
@@ -174,9 +189,18 @@ def test_knn_sparse_returns_all_points(spark):
         [(0, 0.05, 0.05), (1, 0.9, 0.9)], "point_id long, x double, y double"
     )
     queries = spark.createDataFrame([(0, 0.06, 0.06)], "qid long, x double, y double")
-    rows = knn_join(queries, points, 5, bbox, level=3, max_rings=1).collect()
+    from topojson_spark.plans.metrics import StageMetrics
+
+    metrics = StageMetrics()
+    rows = knn_join(
+        queries, points, 5, bbox, level=3, max_rings=1, metrics=metrics
+    ).collect()
     assert sorted(r["point_id"] for r in rows) == [0, 1]
     assert sorted(r["rank"] for r in rows) == [1, 2]
+    # degradation counters: rings doubled 1->2->4, then the residue (this
+    # one unsatisfiable query — dataset < k) went through brute force
+    m = metrics.get("knn_join")
+    assert m == {"n_escalations": 2, "n_fallback": 1, "final_rings": 4}
 
 
 def test_tiles_assignment(spark):

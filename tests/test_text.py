@@ -87,11 +87,20 @@ def test_bucket_cap_bounds_viral_cluster(spark):
     base = "spark engines process very large corpora with shuffles "
     rows = [(i, base + f"variant common tail {i % 2}") for i in range(1000)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = X.minhash_lsh_pairs(docs, bucket_cap=40).collect()
+    from topojson_spark.plans.metrics import StageMetrics
+
+    metrics = StageMetrics()
+    pairs = X.minhash_lsh_pairs(docs, bucket_cap=40, metrics=metrics).collect()
     # every band bucket contributes at most C(40,2) pairs; 4 bands
     assert 0 < len(pairs) <= 4 * (40 * 39 // 2)
     # uncapped would be ~C(500,2)*2 = 249500 pairs
     assert len(pairs) < 5000
+    # the degradation counter rode along with the collect (no extra job):
+    # 1000 docs x 4 bands memberships, most of them capped out at 40/bucket
+    m = metrics.get("minhash_lsh_cap")
+    assert m is not None
+    assert m["n_members_total"] == 4000
+    assert m["n_capped_members"] > 0
 
     # audit: rebuild the banded frame via the public pieces and check math
     sig = X.minhash_signatures(docs)

@@ -129,6 +129,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 5000,
+    metrics=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-banded.
 
@@ -178,7 +179,10 @@ def cosine_neardup_pairs(
             )
         ).alias("bv"),
     ).select(id_col, "bv.band", "bv.val")
-    banded = cap_bucket_members(banded, ["band", "val"], id_col, bucket_cap)
+    banded = cap_bucket_members(
+        banded, ["band", "val"], id_col, bucket_cap,
+        metrics=metrics, metric_name="embedding_lsh_cap",
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "val")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "val")
     pair_ids = (

@@ -57,7 +57,8 @@ def tokens_col(col):
 
 
 def cap_bucket_members(
-    banded: DataFrame, key_cols, id_col: str, cap
+    banded: DataFrame, key_cols, id_col: str, cap,
+    metrics=None, metric_name: str = "lsh_cap",
 ) -> DataFrame:
     """Deterministically keep at most ``cap`` members per LSH bucket.
 
@@ -72,19 +73,29 @@ def cap_bucket_members(
     collapse there and never hit the LSH caps). The rank window
     partitions on the same keys as the pair join (no extra exchange
     pattern) and a sort is O(n log n) where the pairs were O(n^2).
-    Over-cap buckets are auditable — never silently — via ``hot_buckets``.
-    ``cap=None`` disables.
+    Over-cap buckets are auditable — never silently — two ways: the
+    ``hot_buckets`` audit query (per-bucket detail, separate pass) and, when
+    a ``plans.metrics.StageMetrics`` is passed as ``metrics``, an Observation
+    named ``metric_name`` that counts capped-out memberships inline with
+    whatever action executes the operator (zero extra jobs — the counter a
+    100-TB run reads to learn its recall degraded). ``cap=None`` disables.
     """
     if cap is None:
         return banded
     w = Window.partitionBy(*key_cols).orderBy(
         F.xxhash64(F.col(id_col)), F.col(id_col)
     )
-    return (
-        banded.withColumn("_mrank", F.row_number().over(w))
-        .where(F.col("_mrank") <= cap)
-        .drop("_mrank")
-    )
+    ranked = banded.withColumn("_mrank", F.row_number().over(w))
+    if metrics is not None:
+        ranked = metrics.observe(
+            metric_name,
+            ranked,
+            F.sum((F.col("_mrank") > cap).cast("long")).alias(
+                "n_capped_members"
+            ),
+            F.count(F.lit(1)).alias("n_members_total"),
+        )
+    return ranked.where(F.col("_mrank") <= cap).drop("_mrank")
 
 
 def hot_buckets(banded: DataFrame, key_cols, cap: int) -> DataFrame:
@@ -234,6 +245,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     bucket_cap: int = 5000,
+    metrics=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: band the signature, bucket-join.
     Returns (doc_a, doc_b, n_bands_hit) with doc_a < doc_b. Buckets larger
@@ -265,7 +277,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    banded = cap_bucket_members(banded, ["band", "bucket"], "doc_id", bucket_cap)
+    banded = cap_bucket_members(
+        banded, ["band", "bucket"], "doc_id", bucket_cap,
+        metrics=metrics, metric_name="minhash_lsh_cap",
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -361,6 +376,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 6,
     n_bands: int = 8,
     bucket_cap: int = 5000,
+    metrics=None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with EXACT recall.
 
@@ -400,7 +416,10 @@ def simhash_neardup_pairs(
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", "bv.band", "bv.val")
-    banded = cap_bucket_members(banded, ["band", "val"], "doc_id", bucket_cap)
+    banded = cap_bucket_members(
+        banded, ["band", "val"], "doc_id", bucket_cap,
+        metrics=metrics, metric_name="simhash_lsh_cap",
+    )
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
         "band", "val",

@@ -30,6 +30,14 @@ class StageMetrics:
 
     def __init__(self):
         self._obs: Dict[str, Observation] = {}
+        self._recorded: Dict[str, dict] = {}
+
+    def record(self, name: str, **values) -> None:
+        """Record driver-side scalar counters (operators that already hold a
+        count on the driver — e.g. the kNN escalation loop's unsatisfied-query
+        population — report through here; Observations would cost an extra
+        pass there because the scalar IS the loop condition)."""
+        self._recorded[name] = dict(values)
 
     def observe(self, name: str, df: DataFrame, *exprs) -> DataFrame:
         """Attach an Observation named ``name`` to ``df``; metrics become
@@ -41,6 +49,8 @@ class StageMetrics:
         return df.observe(obs, *exprs)
 
     def get(self, name: str) -> Optional[dict]:
+        if name in self._recorded:
+            return self._recorded[name]
         obs = self._obs.get(name)
         if obs is None:
             return None
@@ -66,7 +76,7 @@ class StageMetrics:
             return None
 
     def snapshot(self) -> Dict[str, dict]:
-        out = {}
+        out = dict(self._recorded)
         for name in self._obs:
             m = self.get(name)
             if m is not None:

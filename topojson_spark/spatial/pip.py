@@ -76,29 +76,54 @@ def point_in_polygon_join(
     polygons: DataFrame,
     bbox: Tuple,
     level: int = 8,
-    refine_buckets: int = 16,
+    rows_per_bucket: int = 50_000,
+    max_refine_buckets: int = 4096,
 ) -> DataFrame:
     """(point_id, poly_id) pairs where the point is inside the polygon
     (boundary counts as inside).
 
     Skew design: the exact refine is cogrouped on (poly_id, bucket) where
-    bucket = hash(point cell) % ``refine_buckets`` — the winding test is
-    per-point independent, so a continent-sized polygon's candidate set
-    splits across up to ``refine_buckets`` tasks instead of ONE. Ring
-    coordinates travel on the cogroup's right side, replicated only to the
+    bucket = hash(point cell) % n_buckets and n_buckets is ADAPTIVE per
+    polygon — ceil(candidate_count / ``rows_per_bucket``), capped at
+    ``max_refine_buckets``. The winding test is per-point independent, so a
+    continent-sized polygon's candidate set splits across as many tasks as
+    its candidate volume warrants, while a parcel-sized polygon stays ONE
+    cogroup group (no empty-group overhead). The per-polygon counts are a
+    narrow groupBy over the pinned coarse join (the pin also stops the
+    coarse join re-executing for the live-bucket distinct and the cogroup
+    left side) broadcast back in — bytes are ~16/polygon. Ring coordinates
+    travel on the cogroup's right side, replicated only to the
     (poly_id, bucket) pairs that actually hold candidates (a narrow
     distinct + equi-join), never once per candidate row — shuffle bytes are
     points + rings x live_buckets, not points x rings."""
+    from ..plans.pin import pin
+
     pcell = points.withColumn(
         "cell", C.cell_col(F.col("x"), F.col("y"), bbox, level)
     ).select("point_id", "x", "y", "cell")
 
     poly_cells = _polygon_cells(polygons, bbox, level)
+    coarse = pin(
+        pcell.join(poly_cells, on="cell").select(
+            "point_id", "x", "y", "poly_id", "cell"
+        )
+    )
+    sizes = coarse.groupBy("poly_id").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(rows_per_bucket)).alias("_nb_raw")
+    ).select(
+        F.col("poly_id").alias("_spoly_id"),
+        F.least(
+            F.greatest(F.col("_nb_raw"), F.lit(1)),
+            F.lit(max_refine_buckets),
+        ).cast("int").alias("_n_buckets"),
+    )
     cand = (
-        pcell.join(poly_cells, on="cell")
+        coarse.join(
+            F.broadcast(sizes), on=F.col("poly_id") == F.col("_spoly_id")
+        )
         .withColumn(
             "bucket",
-            F.pmod(F.xxhash64("cell"), F.lit(refine_buckets)).cast("int"),
+            F.pmod(F.xxhash64("cell"), F.col("_n_buckets")).cast("int"),
         )
         .select("point_id", "x", "y", "poly_id", "bucket")
     )
