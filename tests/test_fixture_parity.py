@@ -283,3 +283,79 @@ def test_topojson_africa_reingest_toposimplify(spark):
         b = before[i]
         assert len(c) <= len(b)
         assert c[:2] == b[:2] and c[-2:] == b[-2:]
+
+
+# ------------------------------------------- exact output serialization
+
+
+DUP_POLYGONS = {
+    # tests/test_topology.py:517-519 (p0/p1/p2, shapely wkt -> plain dicts)
+    "abc": {"type": "Polygon",
+            "coordinates": [[[0, 0], [0, 1], [1, 1], [2, 1], [2, 0], [1, 0],
+                             [0, 0]]]},
+    "def": {"type": "Polygon",
+            "coordinates": [[[0, 1], [0, 2], [1, 2], [1, 1], [0, 1]]]},
+    "ghi": {"type": "Polygon",
+            "coordinates": [[[1, 0], [2, 0], [2, -1], [1, -1], [1, 0]]]},
+}
+
+
+def test_topology_geojson_duplicates_exact_ring_rotation(spark):
+    """tests/test_topology.py:516-526 pins the EXACT serialized ring of the
+    first polygon after topology construction — rotation (fast_split ring
+    re-rotation at the junction), stitch order and winding, byte-for-byte:
+
+        p0_wkt == "POLYGON ((0 1, 0 0, 1 0, 2 0, 2 1, 1 1, 0 1))"
+
+    The reference asserts via to_gdf()/wkt; the same coordinates come out
+    of to_geojson (to_gdf is a GeoJSON read, topology.py:279-307)."""
+    t = Topology(DUP_POLYGONS, spark=spark, prequantize=False)
+    gj = t.to_geojson()
+    by_id = {f["id"]: f for f in gj["features"]}
+    assert by_id["abc"]["geometry"]["coordinates"] == [
+        [[0, 1], [0, 0], [1, 0], [2, 0], [2, 1], [1, 1], [0, 1]]
+    ]
+
+
+def test_topoquantize_exact_delta_arcs(spark):
+    """Shaped like tests/test_topology.py:530-536 (exact quantized+delta
+    arc integers) on a GDAL-free fixture: every arc's serialized int values
+    are pinned, and independently re-derived in-test with the reference's
+    own formulas (ops.py:613-668 quantize: k = span/(Q-1), (xy-t)/k,
+    numpy round half-to-even; ops.py:917-925 delta encoding)."""
+    import numpy as np
+
+    t = Topology(DUP_POLYGONS, spark=spark, prequantize=False).topoquantize(50)
+    d = t.to_dict()
+    assert d["transform"] == {
+        "scale": [2 / 49, 3 / 49],
+        "translate": [0.0, -1.0],
+    }
+    assert sorted(d["arcs"]) == sorted(
+        [
+            [[25, 33], [24, 0], [0, -17]],
+            [[25, 16], [-25, 0], [0, 17]],
+            [[0, 33], [0, 16], [25, 0], [0, -16]],
+            [[25, 33], [-25, 0]],
+            [[25, 16], [24, 0]],
+            [[49, 16], [0, -16], [-24, 0], [0, 16]],
+        ]
+    )
+
+    # independent re-derivation, reference formulas end-to-end
+    unquant = Topology(DUP_POLYGONS, spark=spark, prequantize=False)
+    raw = {
+        r["final_idx"]: np.asarray(r["coords"], dtype=np.float64).reshape(-1, 2)
+        for r in unquant.arcs.select("final_idx", "coords").collect()
+    }
+    kx, ky = 2 / 49, 3 / 49
+    for i, arc in enumerate(d["arcs"]):
+        q = np.round(
+            (raw[i] - np.array([0.0, -1.0])) / np.array([kx, ky])
+        ).astype(np.int64)
+        # consecutive-dup removal after snapping (ops.py:659-666)
+        keep = np.insert(np.abs(np.diff(q, axis=0)).sum(axis=1), 0, 1) != 0
+        q = q[keep]
+        delta = q - np.roll(q, 1, axis=0)
+        delta[0] = q[0]
+        assert delta.tolist() == arc, f"arc {i}"

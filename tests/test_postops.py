@@ -211,3 +211,27 @@ def test_to_geojson_validate(spark):
             {"type": "LineString",
              "coordinates": [[0, 0], [float("nan"), 1]]}
         )
+
+
+def test_to_geojson_validate_reference_mode(spark):
+    """validate="reference" emulates the reference gate's OBSERVABLE
+    behavior (utils.py:549-553 asserts on the buffer(0) REPAIR, which is
+    valid-by-construction): degenerate rings pass silently, non-finite
+    coordinates still raise. validate="strict"/True raises on both."""
+    import pytest
+
+    from topojson_spark.topology import _assert_valid_geometry
+
+    degenerate = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [1, 0], [0, 0], [0, 0]]],
+    }
+    _assert_valid_geometry(degenerate, mode="reference")  # passes
+    with pytest.raises(AssertionError, match="zero area"):
+        _assert_valid_geometry(degenerate, mode="strict")
+    nonfinite = {
+        "type": "LineString",
+        "coordinates": [[0, 0], [float("inf"), 1]],
+    }
+    with pytest.raises(AssertionError, match="non-finite"):
+        _assert_valid_geometry(nonfinite, mode="reference")

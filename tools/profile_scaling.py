@@ -78,8 +78,8 @@ n_parts = parts.count()
 t["cut"] = time.time() - t0
 
 t0 = time.time()
+# arcs_final arrives pinned from dedup_stage; re-pinning would double-persist
 arcs_final, refs_final, pmap = dedup_stage(parts, line_refs)
-arcs_final = pin_truncate(arcs_final)
 n_arcs = arcs_final.count()
 t["dedup"] = time.time() - t0
 

@@ -167,15 +167,16 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     # the salted hash-shuffle of the north rule — over O(distinct arcs)
     # narrow candidates. keep_member records WHICH byte-variant's coords the
     # reference would keep (max content key); the coords themselves are
-    # joined in once, below, for survivors only.
-    agg = pin_truncate(
-        part_pos.groupBy("pdig").agg(
-            F.max(pos_struct).alias("kept"),
-            F.sum("n_lines").alias("n_refs"),
-            F.max(
-                F.struct(F.col("ldig"), F.col("split_seq"))
-            ).alias("keep_member"),
-        )
+    # joined in once, below, for survivors only. No pin: part_flags (its
+    # single consumer) is checkpointed right below — an extra boundary here
+    # is one more serialized materialization per run, and those barriers,
+    # not bytes, dominate this stage's scaling residual.
+    agg = part_pos.groupBy("pdig").agg(
+        F.max(pos_struct).alias("kept"),
+        F.sum("n_lines").alias("n_refs"),
+        F.max(
+            F.struct(F.col("ldig"), F.col("split_seq"))
+        ).alias("keep_member"),
     )
 
     # ---- flags + keeper selection, fanned onto the distinct parts ----
@@ -350,14 +351,22 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     arcs_final = dense_index(
         kept_flat, ["_f", "_u", "_r", "_s"], "final_idx", key_cols=["kept"]
     )
-    arcs_final = arcs_final.select("kept", "final_idx", "is_shared", "coords")
+    # pinned HERE, once: both the pmap summary join below and every
+    # downstream consumer (Topology.arcs, exports) read this same store —
+    # pinning later would compute the survivor join + dense ranking twice
+    arcs_final = pin_truncate(
+        arcs_final.select("kept", "final_idx", "is_shared", "coords")
+    )
 
     # pmap carries the fixed-size endpoint/shoelace summary of each arc
     # (computed here, in the join against the arc store that mints final
     # ids anyway) so the hashmap stage never joins arcs_final again
     from .hashmap import arc_summary_cols
 
-    pmap = pin_truncate(
+    # plain cache, not a checkpoint boundary: both parents are pinned, so
+    # the lineage is one shallow join — a localCheckpoint here would add a
+    # serialized materialization for bytes that are already resident
+    pmap = pin(
         pmap0.join(
             arcs_final.select(
                 "kept", "final_idx", "is_shared", *arc_summary_cols()

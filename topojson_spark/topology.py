@@ -192,11 +192,13 @@ class Topology:
         self.arcs_cut = cut_arcs_wide(parts, line_refs)
 
         arcs_final, refs_final, pmap = dedup_stage(parts, line_refs)
-        # observe AFTER truncation (a CollectMetrics below the checkpoint
-        # boundary never publishes); the first count/collect reports it
+        # arcs_final arrives pinned from dedup_stage (one store shared by
+        # the pmap summary join and every export); observing ABOVE that
+        # boundary is required — a CollectMetrics below a checkpoint never
+        # publishes — and re-pinning here would double-persist the store
         self.arcs = self.metrics.observe(
             "arcs",
-            pin_truncate(arcs_final),
+            arcs_final,
             F.count(F.lit(1)).alias("n_arcs"),
             F.sum(F.col("is_shared").cast("int")).alias("n_shared"),
         )
@@ -372,12 +374,25 @@ class Topology:
         self,
         winding_order: str = "CCW_CW",
         decimals=None,
-        validate: bool = False,
+        validate=False,
     ) -> dict:
         """Inverse query: stitch arcs back into feature coordinates —
         utils.py:500-558 + the coordinate decoder utils.py:105-133.
-        ``validate=True`` asserts output-geometry validity (the
-        reference's buffer(0)+assert gate; see _assert_valid_geometry)."""
+
+        ``validate`` picks the output gate (documented DIVERGENCE from the
+        reference, made explicit per mode):
+
+        - ``False`` (default): no gate, like the reference default.
+        - ``True`` / ``"strict"``: assert structural validity of the RAW
+          output (closed >= 4-position non-zero-area rings, finite coords,
+          >= 2-position lines). STRICTER than the reference: its gate
+          asserts on ``shape(geom).buffer(0)`` OUTPUT (utils.py:549-553),
+          i.e. on a repaired copy that is valid-by-construction, so it
+          practically never raises; this mode raises on degenerate rings
+          the reference silently passes.
+        - ``"reference"``: emulate the reference gate's observable
+          behavior — only defects buffer(0) cannot repair (non-finite
+          coordinates) raise; degenerate rings pass silently."""
         topo = self.to_dict()
         return topology_to_geojson(topo, winding_order=winding_order,
                                    decimals=decimals, validate=validate)
@@ -681,16 +696,24 @@ def _enforce_winding(geom: dict, order: str) -> dict:
     return geom
 
 
-def _assert_valid_geometry(geom: dict) -> None:
-    """validate=True analog of serialize_as_geojson (utils.py:549-553).
+def _assert_valid_geometry(geom: dict, mode: str = "strict") -> None:
+    """validate gate of serialize_as_geojson (utils.py:549-553).
 
     The reference computes ``shape(geom).buffer(0)``, asserts the REPAIR is
     valid, then serializes the ORIGINAL geometry either way — i.e. its
-    validate option is an assertion gate, not a repair. Without shapely we
-    assert the checkable invariants directly: finite coordinates, rings
-    closed with >= 4 positions and non-zero area, lines with >= 2
-    positions. Raises AssertionError (matching the reference's failure
-    mode) naming the defect."""
+    validate option is an assertion gate, not a repair, and because the
+    repair is valid-by-construction it practically never raises. Two modes
+    (see Topology.to_geojson):
+
+    - ``"strict"``: assert the checkable invariants of the RAW output:
+      finite coordinates, rings closed with >= 4 positions and non-zero
+      area, lines with >= 2 positions. Stricter than the reference.
+    - ``"reference"``: only non-finite coordinates raise (the one defect
+      buffer(0) cannot repair), matching the reference gate's observable
+      behavior without shapely.
+
+    Raises AssertionError (matching the reference's failure mode) naming
+    the defect."""
 
     def rings(g):
         t, c = g.get("type"), g.get("coordinates")
@@ -710,7 +733,7 @@ def _assert_valid_geometry(geom: dict) -> None:
 
     if geom.get("type") == "GeometryCollection":
         for g in geom.get("geometries", []):
-            _assert_valid_geometry(g)
+            _assert_valid_geometry(g, mode)
         return
     coords = geom.get("coordinates")
     if coords is not None:
@@ -720,6 +743,8 @@ def _assert_valid_geometry(geom: dict) -> None:
         assert flat.size == 0 or np.isfinite(flat).all(), (
             "geometry has non-finite coordinates"
         )
+    if mode == "reference":
+        return
     for ring in rings(geom):
         assert len(ring) >= 4, f"ring has {len(ring)} positions (< 4)"
         assert ring[0] == ring[-1], "ring is not closed"
@@ -739,7 +764,7 @@ def _walk_positions(coords):
 
 def topology_to_geojson(
     topo: dict, objectname: str = None, winding_order: str = "CCW_CW",
-    decimals=None, validate: bool = False,
+    decimals=None, validate=False,
 ) -> dict:
     """Port of serialize_as_geojson (utils.py:500-558)."""
     transform = topo.get("transform")
@@ -760,7 +785,9 @@ def topology_to_geojson(
             ).tolist()
         geom = _enforce_winding(geom, winding_order)
         if validate:
-            _assert_valid_geometry(geom)
+            _assert_valid_geometry(
+                geom, "reference" if validate == "reference" else "strict"
+            )
         fc["features"].append(
             {
                 "id": feature.get("id", index),
