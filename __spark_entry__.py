@@ -275,6 +275,25 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(emb, CENTROIDS).select("vec_id", "centroid_id")
 
 
+def _ivf_probes(n_probe: int) -> list:
+    """Centroid ids nearest QVEC (driver-side literals, shared verbatim by
+    the Spark query and the SQL oracle — same selection ivf_topk makes)."""
+    d2 = []
+    for i, c in enumerate(CENTROIDS):
+        d2.append((sum((a - b) ** 2 for a, b in zip(QVEC, c)), i))
+    return [i for _, i in sorted(d2)[:n_probe]]
+
+
+def q_ivf_topk(spark, sf_dir):
+    from topojson_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, CENTROIDS, QVEC, k=10, n_probe=2)
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+    )
+
+
 def _query_probes(planes) -> list:
     """LSH probe buckets for QVEC against ``planes`` (driver-side literal,
     shared verbatim by the Spark query and the SQL oracle)."""
@@ -507,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_jaccard,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -722,6 +742,43 @@ def oracle_sql() -> dict[str, str]:
                   for i in range(len(CENTROIDS))
               )} END AS centroid_id
             FROM d""",
+        "ivf_topk": f"""
+            WITH d AS (
+              SELECT vec_id, embedding,
+                {", ".join(
+                    f"list_aggregate(list_transform(list_zip(embedding, "
+                    f"{_sql_vec(c)}::DOUBLE[]), "
+                    f"p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])), "
+                    f"'sum') AS d{i}"
+                    for i, c in enumerate(CENTROIDS)
+                )}
+              FROM embeddings
+            ),
+            assigned AS (
+              SELECT vec_id, embedding,
+                CASE {" ".join(
+                    f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                    for i in range(len(CENTROIDS))
+                )} END AS centroid_id
+              FROM d
+            ),
+            cand AS (
+              SELECT * FROM assigned WHERE centroid_id IN (
+                {", ".join(str(p) for p in _ivf_probes(2))})
+            ),
+            scored AS (
+              SELECT vec_id,
+                {_sql_dot('embedding', QVEC)}
+                / (greatest(sqrt(list_aggregate(list_transform(embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)
+                   * sqrt(list_aggregate(list_transform({_sql_vec(QVEC)}::DOUBLE[],
+                        e -> e * e), 'sum'))) AS cos_sim
+              FROM cand
+            )
+            SELECT vec_id, round(cos_sim, 6) AS cos_sim_r,
+                   row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+            QUALIFY rank <= 10""",
         "ann_lsh_topk": f"""
             WITH sig AS (
               SELECT vec_id, embedding, {_sql_sig(ANN_PLANES)} AS sig

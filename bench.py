@@ -86,6 +86,7 @@ def main() -> None:
         "cosine_topk",
         "ann_lsh_topk",
         "ivf_assign",
+        "ivf_topk",
         "embedding_neardup",
         "pip_lattice",
         "knn_grid",

@@ -78,3 +78,26 @@ def test_media_plumbing(spark):
     video = synth_media(spark, 3, kind="video")
     plan = frame_sample_plan(video, every_n=10).collect()
     assert {r["frame_ix"] for r in plan} == {0, 10, 20}
+
+
+def test_ivf_topk_probe_recall(spark):
+    """Clustered corpus: with the query sitting in one cluster, probing
+    that cluster's inverted list (n_probe=1) recovers the exact top-k,
+    identical to brute force — and probing all lists IS brute force."""
+    rng = np.random.default_rng(9)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    vecs = np.vstack([
+        c + 0.1 * rng.standard_normal((30, 8)) for c in centers
+    ])
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = (centers[0] + 0.05).tolist()
+    got = S.ivf_topk(df, centers.tolist(), q, k=5, n_probe=1).collect()
+    brute = S.cosine_topk(df, q, 5).collect()
+    assert [(r["vec_id"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["rank"]) for r in brute
+    ]
+    full = S.ivf_topk(df, centers.tolist(), q, k=5, n_probe=3).collect()
+    assert [(r["vec_id"], r["rank"]) for r in full] == [
+        (r["vec_id"], r["rank"]) for r in brute
+    ]

@@ -219,6 +219,35 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: List[Sequence[float]],
+    query: Sequence[float],
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank exactly within the ``n_probe`` inverted lists whose
+    centroids are nearest the query. Returns (id, cos_sim, rank), rank <= k.
+
+    Scale path: the corpus-side assignment (``ivf_assign``) is a pure
+    codegen projection — at 100 TB it is computed once and persisted
+    bucketed/partitioned BY centroid_id, so a probe is a partition-pruned
+    scan of n_probe/n_centroids of the corpus, no shuffle. Probe selection
+    is driver-side numpy over the (tiny) centroid table; the final ranking
+    is ``cosine_topk``'s TakeOrderedAndProject. Deterministic given
+    (centroids, query) — reproducible by any engine, see the DuckDB oracle.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    cents = np.asarray([list(map(float, c)) for c in centroids])
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    cand = assigned.where(F.col("centroid_id").isin(probes))
+    return cosine_topk(cand, query, k, id_col=id_col, vec_col=vec_col)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: List[Sequence[float]],
