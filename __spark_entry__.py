@@ -47,6 +47,10 @@ CENTROIDS = [
     for k in range(4)
 ]
 
+from topojson_spark.functions.graph import (  # noqa: E402
+    connected_components,
+    dedup_survivors,
+)
 from topojson_spark.functions.text import (  # noqa: E402
     MINHASH_AS,
     MINHASH_BS,
@@ -249,6 +253,24 @@ def q_minhash(spark, sf_dir):
 
 def q_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the minhash near-dup pair graph: one
+    (doc_id, cluster_id=component-min) row per doc appearing in a pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Full dedup pipeline: pairs -> clusters -> keep the best-quality doc
+    per cluster (alpha_ratio desc, doc_id asc); singletons survive."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = connected_components(minhash_lsh_pairs(docs))
+    score = quality_score(docs).select(
+        "doc_id", F.col("alpha_ratio").alias("score")
+    )
+    return dedup_survivors(docs, clusters, score=score)
 
 
 def q_jaccard(spark, sf_dir):
@@ -523,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_signatures": q_minhash,
         "minhash_lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_jaccard,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
@@ -624,6 +648,34 @@ def oracle_sql() -> dict[str, str]:
         for b in range(4)
     )
 
+    minhash_pairs_sql = _minhash_sig_sql() + f""",
+    banded AS (
+      {bands_union}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id"""
+    # transitive closure of the pair graph; cluster label = component min.
+    # (recursive closure is fine at oracle scale; the Spark side uses the
+    # O(log n)-round large-star/small-star plan instead)
+    cc_ctes = f"""WITH RECURSIVE pairs AS (
+      {minhash_pairs_sql}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+    )"""
+
     return {
         "bounds_agg": """
             SELECT min(value) AS min_value, max(value) AS max_value,
@@ -684,15 +736,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {simhash_sum} AS simhash FROM agg""",
         "minhash_signatures": _minhash_sig_sql()
         + "\n    SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig",
-        "minhash_lsh_pairs": _minhash_sig_sql()
-        + f""",
-    banded AS (
-      {bands_union}
+        "minhash_lsh_pairs": minhash_pairs_sql,
+        "dedup_clusters": cc_ctes
+        + "\n    SELECT doc_id, cluster_id FROM clusters",
+        "dedup_survivors": cc_ctes
+        + """,
+    sc AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1) AS score
+      FROM documents
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             sc.score
+      FROM documents d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      LEFT JOIN sc ON sc.doc_id = d.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id""",
+    SELECT doc_id, cluster_id FROM (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC NULLS LAST, doc_id) AS rn
+      FROM lab
+    ) WHERE rn = 1""",
         "ngram_jaccard": f"""WITH {_sh_cte("WHERE doc_id % 10 = 0")},
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

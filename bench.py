@@ -83,6 +83,7 @@ def main() -> None:
         "simhash",
         "simhash_neardup",
         "minhash_lsh_pairs",
+        "dedup_survivors",
         "cosine_topk",
         "ann_lsh_topk",
         "ivf_assign",

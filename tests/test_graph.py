@@ -1,0 +1,112 @@
+"""connected_components / dedup_survivors (functions/graph.py).
+
+Ground truth is an in-test union-find; the Spark side must match it on
+chains, cliques, stars, and randomized graphs (the large-star/small-star
+rounds must converge, not just shrink)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from topojson_spark.functions.graph import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def _uf_labels(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the component minimum
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_labels(pairs)
+
+
+def test_cc_chain(spark):
+    # a 12-node chain needs label propagation across diameter 11 — the
+    # case plain one-hop min-propagation gets wrong without iteration
+    _check(spark, [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)])
+
+
+def test_cc_reversed_chain_and_clique(spark):
+    pairs = [(f"n{i + 1:02d}", f"n{i:02d}") for i in range(7)]
+    pairs += [
+        (f"c{a}", f"c{b}") for a in range(5) for b in range(5) if a < b
+    ]
+    _check(spark, pairs)
+
+
+def test_cc_hub_star_and_selfloop(spark):
+    pairs = [("hub", f"leaf{i:02d}") for i in range(20)]
+    pairs.append(("hub", "hub"))          # self loop ignored
+    pairs.append(("aaa", "hub"))          # min arrives via the hub
+    _check(spark, pairs)
+
+
+def test_cc_randomized_vs_union_find(spark):
+    rng = random.Random(1234)
+    nodes = [f"d{i:03d}" for i in range(120)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    _check(spark, pairs)
+
+
+def test_cc_empty_pairs(spark):
+    df = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(df).count() == 0
+
+
+def test_survivors_by_score_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(6)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2"), ("d4", "d5")],
+        "doc_a string, doc_b string",
+    )
+    clusters = connected_components(pairs)
+    score = spark.createDataFrame(
+        [("d0", 0.1), ("d1", 0.9), ("d2", 0.9), ("d4", 0.5), ("d5", 0.7)],
+        "doc_id string, score double",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_survivors(docs, clusters, score=score).collect()
+    }
+    # {d0,d1,d2}: top score ties d1/d2 -> min id d1. {d4,d5}: d5 wins.
+    # d3 is a singleton (absent from pairs AND from score) and survives.
+    assert got == {("d1", "d0"), ("d5", "d4"), ("d3", "d3")}
+
+
+def test_survivors_default_min_id(spark):
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame([("b", "c")], "doc_a string, doc_b string")
+    got = {
+        r["doc_id"]
+        for r in dedup_survivors(docs, connected_components(pairs)).collect()
+    }
+    assert got == {"a", "b"}
