@@ -52,20 +52,21 @@ def connected_components(
     singletons — join with a left outer and ``coalesce``
     (see ``dedup_survivors``).
     """
+    # pin the pair producer ONCE — nodes and the edge seed both read it;
+    # without this a pair plan like minhash LSH would execute twice
+    pairs0 = pin_truncate(
+        pairs.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    )
     nodes = (
-        pairs.select(F.col(src).alias("n"))
-        .union(pairs.select(F.col(dst).alias("n")))
+        pairs0.select(F.col("x").alias("n"))
+        .union(pairs0.select(F.col("y").alias("n")))
         .distinct()
     )
     # canonical big->small orientation, self-loops dropped; the id type
     # (string or integral) flows through — min/cluster labels follow the
     # column's native ordering
     e = (
-        pairs.select(
-            F.col(src).alias("x"),
-            F.col(dst).alias("y"),
-        )
-        .where(F.col("x") != F.col("y"))
+        pairs0.where(F.col("x") != F.col("y"))
         .select(
             F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
         )
@@ -104,8 +105,9 @@ def connected_components(
             .distinct()
         )
         e_new = pin_truncate(e_new)
-        # one action per round: canonical-edge-set fingerprint (hash folded
-        # into [0, 2^31) before summing so ANSI mode can't overflow a long)
+        # one action per round: edge-set fingerprint (hash folded into
+        # [0, 2^31) before summing so ANSI mode can't overflow a long) plus
+        # the star-forest stats for the early exit below
         sig_row = e_new.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
@@ -113,12 +115,24 @@ def connected_components(
                              F.lit(1 << 31))),
                 F.lit(0),
             ).alias("h"),
+            F.count_distinct(F.col("u")).alias("nu"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         e = e_new
         if sig == prev_sig or sig[0] == 0:
             break
         prev_sig = sig
+        if sig_row["n"] == sig_row["nu"]:
+            # every member points at exactly one root; if additionally no
+            # root is itself a member, the edges are a star forest — the
+            # provable fixed point — and the confirming round is skipped
+            roots_as_members = e_new.join(
+                e_new.select(F.col("u").alias("v")).distinct(),
+                on="v",
+                how="left_semi",
+            )
+            if roots_as_members.isEmpty():
+                break
     # at the star fixed point every edge is (member, root); roots and
     # isolated-by-dedup nodes label themselves
     labels = e.groupBy("u").agg(F.min("v").alias("c"))
