@@ -394,6 +394,15 @@ def q_raster(spark, sf_dir):
     return out.select("tile_x", "tile_y", "n")
 
 
+def q_tile_pyramid(spark, sf_dir):
+    from topojson_spark.spatial.tiles import tile_pyramid
+
+    pts = _derived_points(spark, sf_dir)
+    return tile_pyramid(pts, (0.0, 0.0, 8.0, 8.0), max_zoom=3).select(
+        "zoom", "tile_x", "tile_y", "n"
+    )
+
+
 def q_knn(spark, sf_dir):
     from topojson_spark.spatial.knn import knn_join
 
@@ -558,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toposimplify_arcs": q_toposimplify,
         "vector_tiles": q_vector_tiles,
         "raster_tiles": q_raster,
+        "tile_pyramid": q_tile_pyramid,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
         "media_features": q_media_features,
@@ -937,6 +947,24 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(floor(y / 8.0 * 8)::BIGINT, 0), 7) AS tile_y,
                    count(*) AS n
             FROM pts GROUP BY 1, 2""",
+        "tile_pyramid": """
+            WITH pts AS (
+              SELECT (event_id % 97) * 8.0 / 97 AS x,
+                     ((event_id * 31) % 89) * 8.0 / 89 AS y
+              FROM events
+            ),
+            leaf AS (
+              SELECT least(greatest(floor(x / 8.0 * 8)::BIGINT, 0), 7) AS lx,
+                     least(greatest(floor(y / 8.0 * 8)::BIGINT, 0), 7) AS ly,
+                     count(*) AS n
+              FROM pts GROUP BY 1, 2
+            )
+            SELECT z.zoom::INTEGER AS zoom,
+                   (lx >> (3 - z.zoom))::BIGINT AS tile_x,
+                   (ly >> (3 - z.zoom))::BIGINT AS tile_y,
+                   sum(n)::BIGINT AS n
+            FROM leaf CROSS JOIN (SELECT unnest(range(0, 4)) AS zoom) z
+            GROUP BY 1, 2, 3""",
         "knn_grid": """
             WITH pts AS (
               SELECT event_id AS point_id,

@@ -92,6 +92,7 @@ def main() -> None:
         "pip_lattice",
         "knn_grid",
         "raster_tiles",
+        "tile_pyramid",
         "join_region",
     ]
     qs = E.queries()

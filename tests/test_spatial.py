@@ -231,3 +231,39 @@ def test_rasterize_and_back(spark):
     assert cells_back.count() == 64
     one = cells_back.limit(1).collect()[0]["ring"]
     assert len(one) == 5
+
+
+def test_tile_pyramid_invariants(spark):
+    from topojson_spark.spatial.tiles import tile_pyramid
+
+    rng = [(float(i % 8) + 0.3, float((i * 3) % 8) + 0.7, float(i % 5))
+           for i in range(200)]
+    points = spark.createDataFrame(rng, "x double, y double, v double")
+    pyr = tile_pyramid(points, BBOX, max_zoom=3, value_col="v").collect()
+    by_zoom = {}
+    for r in pyr:
+        by_zoom.setdefault(r["zoom"], []).append(r)
+    assert set(by_zoom) == {0, 1, 2, 3}
+    # every level re-counts every point; zoom 0 is the single root tile
+    for z, rows in by_zoom.items():
+        assert sum(r["n"] for r in rows) == 200
+        assert sum(r["sum_value"] for r in rows) == sum(p[2] for p in rng)
+    assert len(by_zoom[0]) == 1 and by_zoom[0][0]["tile_x"] == 0
+    # each level equals a direct rasterization at that zoom (floor/shift
+    # commute), and parents exactly fold their four children
+    for z in range(4):
+        direct = {
+            (r["tile_x"], r["tile_y"]): r["n"]
+            for r in rasterize_points(points, BBOX, zoom=z).collect()
+        }
+        assert {
+            (r["tile_x"], r["tile_y"]): r["n"] for r in by_zoom[z]
+        } == direct
+    kids = {(r["tile_x"], r["tile_y"]): r["n"] for r in by_zoom[2]}
+    for (px, py), n in {
+        (r["tile_x"], r["tile_y"]): r["n"] for r in by_zoom[1]
+    }.items():
+        assert n == sum(
+            kids.get((px * 2 + dx, py * 2 + dy), 0)
+            for dx in (0, 1) for dy in (0, 1)
+        )

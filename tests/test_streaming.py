@@ -79,3 +79,64 @@ def test_stream_resume_is_incremental(spark, tmp_path):
     # the first 20 must not be reprocessed on resume
     assert n1 == 20
     assert n2 == 35
+
+
+def test_stream_exact_dedup_state(spark, tmp_path):
+    """Cross-micro-batch stateful dedup: first occurrence of each text wins,
+    later arrivals carry their duplicate ordinal and the original's id."""
+    from topojson_spark.streaming.ingest import stream_exact_dedup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: docs 0..4, texts t0..t2 with dup inside the batch
+    b1 = spark.createDataFrame(
+        [(0, "t0"), (1, "t1"), (2, "t2"), (3, "t0"), (4, "t1")],
+        "doc_id long, text string",
+    )
+    # batch 2 (separate file -> separate trigger): re-sends t0 and adds t3
+    b2 = spark.createDataFrame(
+        [(5, "t0"), (6, "t3")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 7
+    firsts = {r["doc_id"] for r in rows.values() if r["is_first"]}
+    # one winner among the intra-batch t0 dups (0/3: order inside a batch
+    # group is not contractual), the rest are exact
+    assert {"1", "2", "6"} <= firsts and len(firsts & {"0", "3"}) == 1
+    assert len(firsts) == 4
+    by_hash = {}
+    for r in rows.values():
+        by_hash.setdefault(r["text_hash"], []).append(r)
+    for grp in by_hash.values():
+        # ordinals are dense 0..k-1 and every row names the same original
+        assert sorted(g["n_seen_before"] for g in grp) == list(
+            range(len(grp))
+        )
+        assert len({g["first_doc_id"] for g in grp}) == 1
+        first = min(grp, key=lambda g: g["n_seen_before"])
+        assert first["is_first"] and first["first_doc_id"] == first["doc_id"]
+    # cross-batch: doc 5 duplicates batch-1's t0 (docs 0 and 3), so its
+    # ordinal is 2 and it points at whichever of them won the first batch
+    assert rows["5"]["n_seen_before"] == 2
+    assert rows["5"]["first_doc_id"] in {"0", "3"}
+    assert not rows["5"]["is_first"]

@@ -75,6 +75,22 @@ def main() -> None:
         fmt(qs["minhash_lsh_pairs"](spark, SF_DIR)),
     ))
     sections.append((
+        "tile_pyramid — one-pass multi-zoom rollup",
+        "Expect: ONE scan; leaf groupBy with partial aggregation, then an"
+        " explode over zoom levels and a second partial-agg groupBy — no"
+        " joins, no Python; shuffle rows ~ leaf tiles x zooms, independent"
+        " of input size.",
+        fmt(qs["tile_pyramid"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "dedup_clusters — large-star/small-star connected components",
+        "Expect: the pair producer pinned once (InMemoryRelation /"
+        " LogicalRDD), then per-round plans over narrow (id, id) tuples"
+        " only — Exchanges on node id, no text columns anywhere; the final"
+        " label join is a LEFT join of nodes against star roots.",
+        fmt(qs["dedup_clusters"](spark, SF_DIR)),
+    ))
+    sections.append((
         "pip_lattice — cell-join + winding refine",
         "Expect: cell-id equi-join (Exchange on cell), ArrowEvalPython ONLY"
         " for the exact point-in-polygon refine over candidate pairs.",

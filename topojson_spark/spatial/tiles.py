@@ -93,6 +93,45 @@ def rasterize_points(
     )
 
 
+def tile_pyramid(
+    points: DataFrame,
+    bbox: Tuple,
+    max_zoom: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Multi-zoom rollup: points(x, y[, value]) -> (zoom, tile_x, tile_y,
+    n[, sum_value]) for every zoom in [0, max_zoom] — the tile-serving
+    pyramid in ONE pass.
+
+    Plan shape: leaf assignment at max_zoom is pure codegen column math;
+    one groupBy produces the leaf raster; each leaf row then explodes into
+    its max_zoom+1 ancestors (parent coords are bit shifts — no joins) and
+    a second groupBy folds them. Both shuffles carry only (zoom, x, y,
+    partials); partial aggregation collapses the fan-out map-side, so
+    shuffle bytes ~= distinct leaf tiles x zoom levels, independent of the
+    input point count — at 100 TB the point->leaf reduction does the heavy
+    lifting and the pyramid is a rounding error on top.
+    """
+    leaf = rasterize_points(points, bbox, max_zoom, value_col=value_col)
+    lv = F.explode(F.sequence(F.lit(0), F.lit(max_zoom))).alias("zoom")
+    exploded = leaf.select("tile_x", "tile_y", "n",
+                           *(["sum_value"] if value_col else []), lv)
+    aggs = [F.sum("n").alias("n")]
+    if value_col:
+        aggs.append(F.sum("sum_value").alias("sum_value"))
+    return (
+        exploded.select(
+            "zoom",
+            F.expr(f"shiftright(tile_x, {max_zoom} - zoom)").alias("tile_x"),
+            F.expr(f"shiftright(tile_y, {max_zoom} - zoom)").alias("tile_y"),
+            "n",
+            *(["sum_value"] if value_col else []),
+        )
+        .groupBy("zoom", "tile_x", "tile_y")
+        .agg(*aggs)
+    )
+
+
 def raster_to_cells(
     raster: DataFrame, bbox: Tuple, zoom: int, predicate
 ) -> DataFrame:

@@ -86,6 +86,72 @@ def read_staged(spark: SparkSession, out_dir: str):
     return lines, points, features
 
 
+def stream_exact_dedup(documents_stream: DataFrame) -> DataFrame:
+    """Stateful streaming exact dedup: first occurrence of each text hash
+    wins; every arrival is emitted with its duplicate ordinal.
+
+    ``dropDuplicates`` on a stream can suppress repeats but cannot report
+    HOW duplicated a document is; this keeps per-hash GroupState
+    (first_doc_id, n_seen) via ``applyInPandasWithState`` and emits
+    ``(doc_id, text_hash, is_first, n_seen_before, first_doc_id)`` for each
+    incoming doc — the training-data ledger shape (keep the is_first rows;
+    audit the rest).
+
+    Scale: state is partitioned by text_hash (the natural shuffle key) and
+    is ~40 bytes/distinct doc — at 100 TB this is RocksDB-state-store
+    territory, and the operator is exactly the shape that backend expects
+    (timeouts off, per-key monotone counters). Processing-time semantics:
+    within a micro-batch, arrival order inside a group follows batch row
+    order, which Spark keeps stable per partition; cross-batch ordering is
+    by trigger, which is the streaming-native definition of "first seen"."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # id rendered as string so the ledger works for both the corpus shape
+    # (doc_id string) and the documents table (doc_id long)
+    hashed = documents_stream.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+    out_schema = (
+        "doc_id string, text_hash string, is_first boolean, "
+        "n_seen_before long, first_doc_id string"
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (text_hash,) = key
+        if state.exists:
+            first_doc_id, n_seen = state.get
+        else:
+            first_doc_id, n_seen = None, 0
+        out = []
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"]:
+                doc_id = str(doc_id)
+                if first_doc_id is None:
+                    first_doc_id = doc_id
+                out.append(
+                    (doc_id, text_hash, n_seen == 0, n_seen, first_doc_id)
+                )
+                n_seen += 1
+        state.update((first_doc_id, n_seen))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "text_hash", "is_first",
+                "n_seen_before", "first_doc_id",
+            ],
+        )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType="first_doc_id string, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def span_stats_stream(documents_stream: DataFrame) -> DataFrame:
     """Per-kind running span counts — the streaming observability surface
     (counts per micro-batch window; complete-mode aggregation)."""
