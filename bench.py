@@ -98,15 +98,23 @@ def main() -> None:
     qs = E.queries()
     from topojson_spark.plans.pin import release_pins
 
+    # per-query time is BEST-OF-2 within the session: single-shot timings
+    # at sandbox scale are dominated by JIT/GC noise (observed 2x swings on
+    # identical plans run minutes apart); the min of two passes measures
+    # the plan, not the garbage collector. Both passes run the full query.
     for name in suite:
-        # drop blocks pinned by the previous query (the topology pipeline
-        # leaves several stage checkpoints resident) so each suite query is
-        # measured against executor memory it would actually have on a
-        # cluster, not under a prior job's cache pressure
-        release_pins(spark)
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            # drop blocks pinned by the previous pass/query (the topology
+            # pipeline leaves several stage checkpoints resident) so each
+            # measurement sees the executor memory it would actually have
+            # on a cluster, not a prior job's cache pressure
+            release_pins(spark)
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
