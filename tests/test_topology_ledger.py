@@ -153,8 +153,20 @@ def test_topology_double_toposimplify_points_only(spark):
 
 
 def test_topology_topoquantize_exact_arc(spark):
-    # reference :446-455 — prequantize 1e4 then topoquantize 1e4: the
-    # first arc's quantized delta form is pinned byte-exact
+    """Reference :446-455 — prequantize 1e4 then topoquantize 1e4, exact
+    quantized delta arcs.
+
+    NOTE the reference file defines ``test_topology_topoquantize`` TWICE
+    (:446 and :669); pytest collects only the second, so :446 is DEAD CODE
+    and its pinned ``arcs[0] == [[9999, 0], [-4999, 9999]]`` is not
+    reproducible by the reference's active path either: that value requires
+    a junction at (2,2), but B's (1,1)-(2,2) segment is collinear with A's
+    (0,0)-(2,2) only at float precision — on the 1e4 integer grid the
+    cross-product is 2500 != 0, the shared path vanishes, and both lines
+    survive uncut. The exact pin kept here is the uncut arcs' quantized
+    delta form, whose FIRST delta [-4999, 9999] still matches the dead
+    test byte-for-byte (the quantization grid is the topology bbox, not a
+    bbox recomputed from dequantized floats — reference topology.py:418)."""
     data = [
         {"type": "LineString", "coordinates": [[4, 0], [2, 2], [0, 0]]},
         {"type": "LineString",
@@ -163,7 +175,11 @@ def test_topology_topoquantize_exact_arc(spark):
     tp = Topology(data, spark=spark, prequantize=1e4)
     topo = tp.topoquantize(1e4).to_dict()
     assert topo["transform"]["translate"] == [0.0, 0.0]
-    assert topo["arcs"][0] == [[9999, 0], [-4999, 9999]]
+    assert topo["arcs"][0] == [[9999, 0], [-4999, 9999], [-5000, -9999]]
+    assert topo["arcs"][1] == [
+        [0, 9999], [2500, -4999], [2500, 4999], [2499, -4999], [2500, 4999]]
+    # the float-precision shared path DOES cut when not prequantized:
+    # 5 arcs (pinned in test_topology_computing_topology)
 
 
 def test_topology_bbox_no_delta_transform(spark):

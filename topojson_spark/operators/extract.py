@@ -46,6 +46,12 @@ FEATURES_IN_SCHEMA = T.StructType(
         T.StructField("object_name", T.StringType()),
         T.StructField("geom_json", T.StringType()),
         T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+        # reference parity: features arriving via a FeatureCollection are
+        # NOT validity-checked (extract.py:446-487 routes them through the
+        # shapely-object branch of _extract_dictionary, which never calls
+        # is_valid); bare dict/Feature inputs ARE (extract.py:501-503,
+        # :736-742). Producers set this per row.
+        T.StructField("skip_validate", T.BooleanType()),
     ]
 )
 
@@ -154,8 +160,9 @@ _CANON_TYPE = {
 class _FeatureParser:
     """Walks one GeoJSON geometry/Feature, collecting lines/points/units."""
 
-    def __init__(self, winding_order: Optional[str]):
+    def __init__(self, winding_order: Optional[str], validate: bool = True):
         self.winding_order = winding_order
+        self.validate = validate
         self.lines: list = []
         self.points: list = []
         self.unit_seq = 0
@@ -245,9 +252,11 @@ class _FeatureParser:
                 return None
             if not np.array_equal(arr[0], arr[-1]):
                 arr = np.vstack([arr, arr[:1]])
-            if (
-                len(arr) < 4
-                or K.signed_area(arr) == 0.0  # degenerate/collinear ring —
+            if len(arr) < 4:
+                self.invalid = True
+                return None
+            if self.validate and (
+                K.signed_area(arr) == 0.0  # degenerate/collinear ring —
                 # shapely is_valid rejects zero-area (extract.py:739-742)
                 or _ring_self_intersects(arr)
             ):
@@ -289,7 +298,8 @@ def _parse_batch(
             geom = json.loads(row.geom_json)
         except (json.JSONDecodeError, TypeError):
             geom = None
-        parser = _FeatureParser(winding_order)
+        skip = bool(getattr(row, "skip_validate", False) or False)
+        parser = _FeatureParser(winding_order, validate=not skip)
         template = parser.parse(geom) if isinstance(geom, dict) else None
         invalid = parser.invalid or template is None
         props = row.properties
@@ -443,6 +453,13 @@ def extract(
     return lines, points, features
 
 
+def _is_fc(obj) -> bool:
+    return (
+        isinstance(obj, dict)
+        and str(obj.get("type", "")).casefold() == "featurecollection"
+    )
+
+
 def features_from_mapping(
     spark: SparkSession,
     data,
@@ -458,7 +475,10 @@ def features_from_mapping(
     names = options.object_names()
     rows = []
 
-    def add_rows(mapping: dict, object_name: str, base_seq: int) -> int:
+    def add_rows(
+        mapping: dict, object_name: str, base_seq: int,
+        from_fc: bool = False,
+    ) -> int:
         seq = base_seq
         for key, obj in mapping.items():
             if (
@@ -469,7 +489,8 @@ def features_from_mapping(
                 # outer key is dropped (extract.py:676-691 delegates the
                 # nested dict to _extract_featurecollection)
                 seq = add_rows(
-                    to_mapping(obj, options.ignore_index), object_name, seq
+                    to_mapping(obj, options.ignore_index), object_name, seq,
+                    from_fc=True,
                 )
                 continue
             props = None
@@ -481,7 +502,8 @@ def features_from_mapping(
                 }
                 geom = obj["geometry"]
             rows.append(
-                (seq, str(key), object_name, json.dumps(geom), props)
+                (seq, str(key), object_name, json.dumps(geom), props,
+                 from_fc)
             )
             seq += 1
         return seq
@@ -528,9 +550,15 @@ def features_from_mapping(
             )
         seq = 0
         for name, sub in zip(names, data):
-            seq = add_rows(to_mapping(sub, options.ignore_index), name, seq)
+            seq = add_rows(
+                to_mapping(sub, options.ignore_index), name, seq,
+                from_fc=_is_fc(sub),
+            )
     else:
-        add_rows(to_mapping(data, options.ignore_index), names[0], 0)
+        add_rows(
+            to_mapping(data, options.ignore_index), names[0], 0,
+            from_fc=_is_fc(data),
+        )
 
     return spark.createDataFrame(rows, schema=FEATURES_IN_SCHEMA)
 
@@ -591,4 +619,6 @@ def features_from_documents(
         F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias(
             "properties"
         ),
+        # corpus hygiene: geometry spans are always validated
+        F.lit(False).alias("skip_validate"),
     )

@@ -92,6 +92,10 @@ class Topology:
                 )
             else:
                 features_in = data
+                if "skip_validate" not in features_in.columns:
+                    features_in = features_in.withColumn(
+                        "skip_validate", F.lit(False)
+                    )
         else:
             if spark is None:
                 raise ValueError("driver-side input requires a SparkSession")
@@ -509,6 +513,15 @@ class Topology:
                 or self.options.quant_factor
                 or 1e5
             )
+            # the simp UDF dequantized the arcs inline; points are still in
+            # the old grid — move them to world space too before the
+            # transform is dropped, or the requantize below would treat
+            # grid integers as world coordinates
+            sx, sy = scale
+            tx, ty = translate
+            new.points = self.points.withColumn(
+                "x", F.col("x") * F.lit(sx) + F.lit(tx)
+            ).withColumn("y", F.col("y") * F.lit(sy) + F.lit(ty))
             new.transform = None
             new = new.topoquantize(q, _already_dequantized=True)
         return new
@@ -533,7 +546,18 @@ class Topology:
 
             arcs = self.arcs.withColumn("coords", deq("coords"))
 
-        # new bbox over dequantized arcs (flat interleaved coords)
+        # points participate too: dequantize them out of the OLD transform
+        # (they are stored in the construction grid when prequantized) so
+        # the new bbox spans arcs AND points, reference topology.py:375-432
+        pts = self.points
+        if self.transform is not None:
+            osx, osy = self.transform["scale"]
+            otx, oty = self.transform["translate"]
+            pts = pts.withColumn(
+                "x", F.col("x") * F.lit(osx) + F.lit(otx)
+            ).withColumn("y", F.col("y") * F.lit(osy) + F.lit(oty))
+
+        # new bbox over dequantized arcs (flat interleaved coords) + points
         from .operators.join import _XS, _YS
 
         xs = F.expr(_XS)
@@ -544,20 +568,47 @@ class Topology:
             F.max(F.array_max(xs)).alias("x1"),
             F.max(F.array_max(ys)).alias("y1"),
         ).collect()[0]
-        bbox = (row["x0"], row["y0"], row["x1"], row["y1"])
-        kx, ky = K.quantize_factors(bbox, quant_factor)
+        prow = pts.agg(
+            F.min("x").alias("x0"), F.min("y").alias("y0"),
+            F.max("x").alias("x1"), F.max("y").alias("y1"),
+        ).collect()[0]
+
+        def _fold(fn, a, b, fallback):
+            vals = [v for v in (a, b) if v is not None]
+            return fn(vals) if vals else fallback
+
+        fb = self.bbox or (0.0, 0.0, 0.0, 0.0)
+        bbox = (
+            _fold(min, row["x0"], prow["x0"], fb[0]),
+            _fold(min, row["y0"], prow["y0"], fb[1]),
+            _fold(max, row["x1"], prow["x1"], fb[2]),
+            _fold(max, row["y1"], prow["y1"], fb[3]),
+        )
+        # the quantization GRID is the topology's existing bbox (reference
+        # topology.py:418 quantizes against output["bbox"] BEFORE updating
+        # it) — recomputing it from dequantized arcs shifts the grid by the
+        # float error of dequantize and moves pinned arc integers by one.
+        # After toposimplify (_already_dequantized) the reference DOES grid
+        # on the recomputed bounds of the simplified arcs (:517-520).
+        grid = bbox if (_already_dequantized or self.bbox is None) else tuple(
+            self.bbox
+        )
+        kx, ky = K.quantize_factors(grid, quant_factor)
 
         @F.pandas_udf(COORDS_T)
         def quant(coords: pd.Series) -> pd.Series:
             return coords.map(
                 lambda c: K.flat(
-                    K.quantize_coords(K.as_np(c), bbox, quant_factor)
+                    K.quantize_coords(K.as_np(c), grid, quant_factor)
                 )
             )
 
+        from .operators.join import quantize_points
+
         new.arcs = arcs.withColumn("coords", quant("coords"))
+        new.points = quantize_points(pts, grid, quant_factor)
         new.bbox = bbox
-        new.transform = {"scale": [kx, ky], "translate": [bbox[0], bbox[1]]}
+        new.transform = {"scale": [kx, ky], "translate": [grid[0], grid[1]]}
         return new
 
     # -------------------------------------------------------- persistence
@@ -646,20 +697,26 @@ def _stitch(arcs, tp_arcs, gtype, transform):
     return [_stitch(a, tp_arcs, gtype, transform) for a in arcs]
 
 
-def _geom_from_topo(obj, tp_arcs, transform):
+def _geom_from_topo(obj, tp_arcs, transform, point_transform=None):
+    """``transform`` decodes arcs (None when tp_arcs are pre-decoded);
+    ``point_transform`` always reflects the topology's transform — points
+    are stored quantized regardless of how the arcs were handed in."""
+    if point_transform is None:
+        point_transform = transform
     gtype = obj["type"]
     if gtype == "GeometryCollection":
         return {
             "type": gtype,
             "geometries": [
-                _geom_from_topo(g, tp_arcs, transform)
+                _geom_from_topo(g, tp_arcs, transform, point_transform)
                 for g in obj["geometries"]
             ],
         }
     if gtype in ("Point", "MultiPoint"):
         coords = obj.get("coordinates")
-        if coords is not None and transform is not None:
-            sc, tr = transform["scale"], transform["translate"]
+        if coords is not None and point_transform is not None:
+            sc = point_transform["scale"]
+            tr = point_transform["translate"]
             arr = np.asarray(coords, dtype=np.float64)
             arr = arr * np.asarray(sc) + np.asarray(tr)
             coords = arr.tolist()
@@ -776,13 +833,26 @@ def topology_to_geojson(
             f"'{objectname}' is not an object name in your topojson file"
         )
     features = topo["objects"][objectname]["geometries"]
+    # rounding happens at the ARC level on the dequantized arrays, exactly
+    # like the reference (utils.py:526-529: np.around(np_arcs) before the
+    # stitch; point coordinates are NOT rounded) — feature-level rounding
+    # would also break on ragged GeometryCollection nesting
+    arc_transform = transform
+    if decimals is not None and isinstance(decimals, int):
+        decoded = []
+        for a in tp_arcs:
+            arr = np.asarray(a, dtype=np.float64)
+            if transform is not None:
+                arr = K.delta_decode(
+                    arr, transform["scale"], transform["translate"]
+                )
+            decoded.append(np.around(arr, decimals=decimals).tolist())
+        tp_arcs = decoded
+        arc_transform = None
     fc = {"type": "FeatureCollection", "features": []}
     for index, feature in enumerate(features):
-        geom = _geom_from_topo(feature, tp_arcs, transform)
-        if decimals is not None and geom.get("coordinates") is not None:
-            geom["coordinates"] = np.around(
-                np.asarray(geom["coordinates"], dtype=np.float64), decimals
-            ).tolist()
+        geom = _geom_from_topo(feature, tp_arcs, arc_transform,
+                               point_transform=transform)
         geom = _enforce_winding(geom, winding_order)
         if validate:
             _assert_valid_geometry(
