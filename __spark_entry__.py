@@ -394,6 +394,26 @@ def q_raster(spark, sf_dir):
     return out.select("tile_x", "tile_y", "n")
 
 
+def q_event_windows(spark, sf_dir):
+    """Tumbling 10-minute event-time windows (the batch shape of
+    streaming.stream_windowed_event_counts). Sums go through decimal so
+    they are order-independent and bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
 def q_tile_pyramid(spark, sf_dir):
     from topojson_spark.spatial.tiles import tile_pyramid
 
@@ -568,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles": q_vector_tiles,
         "raster_tiles": q_raster,
         "tile_pyramid": q_tile_pyramid,
+        "event_windows": q_event_windows,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
         "media_features": q_media_features,
@@ -947,6 +968,12 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(floor(y / 8.0 * 8)::BIGINT, 0), 7) AS tile_y,
                    count(*) AS n
             FROM pts GROUP BY 1, 2""",
+        "event_windows": """
+            SELECT epoch(time_bucket(INTERVAL '10 minutes', ts))::BIGINT
+                     AS win_start,
+                   event_type, count(*) AS n,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2""",
         "tile_pyramid": """
             WITH pts AS (
               SELECT (event_id % 97) * 8.0 / 97 AS x,

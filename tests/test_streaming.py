@@ -140,3 +140,71 @@ def test_stream_exact_dedup_state(spark, tmp_path):
     assert rows["5"]["n_seen_before"] == 2
     assert rows["5"]["first_doc_id"] in {"0", "3"}
     assert not rows["5"]["is_first"]
+
+
+def test_stream_windowed_event_counts_watermark(spark, tmp_path):
+    """Tumbling event-time windows with watermark: windows emit once the
+    watermark passes, and a row older than the bound is dropped."""
+    import datetime as dt
+
+    from topojson_spark.streaming.ingest import stream_windowed_event_counts
+
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "windows")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [(t0 + dt.timedelta(minutes=m), et, float(v))
+                for m, et, v in specs]
+
+    schema = "ts timestamp, event_type string, value double"
+    # batch 1: two windows' worth of events
+    spark.createDataFrame(
+        rows((1, "a", 1.0), (2, "a", 2.0), (11, "b", 3.0)), schema
+    ).coalesce(1).write.parquet(src)
+    # batch 2: advances the watermark far past both windows (ts=120min ->
+    # watermark 100min; BOTH late-filtering and state eviction apply it
+    # only from the NEXT batch — advancement lags one batch)
+    spark.createDataFrame(rows((120, "c", 5.0)), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # batch 3: processed under the 100min watermark — closes and emits
+    # windows [0,10) and [10,20)
+    spark.createDataFrame(rows((121, "c", 7.0)), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # batch 4: a VERY late row into the closed window [0,10) — must be
+    # dropped by the 100/101min watermark, not re-open the window
+    spark.createDataFrame(rows((3, "a", 100.0)), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_windowed_event_counts(stream, "10 minutes", "20 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"].minute, r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # windows [0,10) and [10,20) closed; [120,130) still open (no later
+    # watermark to flush it in availableNow mode) -> not emitted
+    assert got.get((0, "a")) == (2, 3.0)
+    assert got.get((10, "b")) == (1, 3.0)
+    # the late (3, "a") row arrived after the watermark passed its window:
+    # the closed window's counts must NOT include it (and no duplicate
+    # emission of window [0,10) exists)
+    assert len([k for k in got if k == (0, "a")]) == 1

@@ -152,6 +152,32 @@ def stream_exact_dedup(documents_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data bound — the
+    Structured Streaming shape for continuous corpus telemetry.
+
+    Append output mode: a window emits exactly once, when the watermark
+    (max observed ts - ``watermark``) passes its end; rows arriving later
+    than the bound are dropped by the state store instead of corrupting
+    closed windows. State is one row per (window, event_type) — bounded by
+    the watermark horizon, RocksDB-friendly at 100 TB ingest rates.
+    Returns (window_start, window_end, event_type, n, sum_value)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
 def span_stats_stream(documents_stream: DataFrame) -> DataFrame:
     """Per-kind running span counts — the streaming observability surface
     (counts per micro-batch window; complete-mode aggregation)."""
