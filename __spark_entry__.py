@@ -273,6 +273,31 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(docs, clusters, score=score)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end training-set selection: near-dup survivors (minhash
+    pairs -> connected components -> best-quality per cluster) filtered to
+    English docs above quality thresholds — every stage shuffles only
+    narrow (id, metric) tuples; text leaves the scan once."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = connected_components(minhash_lsh_pairs(docs))
+    qual = quality_score(docs)
+    score = qual.select("doc_id", F.col("alpha_ratio").alias("score"))
+    surv = dedup_survivors(docs, clusters, score=score)
+    lang = language_id(docs)
+    return (
+        docs.select("doc_id")
+        .join(surv.select("doc_id"), "doc_id", "left_semi")
+        .join(lang, "doc_id")
+        .join(qual.select("doc_id", "alpha_ratio", "n_tokens"), "doc_id")
+        .where(
+            (F.col("lang_guess") == "en")
+            & (F.col("alpha_ratio") > 0.7)
+            & (F.col("n_tokens") >= 5)
+        )
+        .select("doc_id", "n_tokens")
+    )
+
+
 def q_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return ngram_jaccard_pairs(docs, threshold=0.01).select(
@@ -576,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "corpus_curation": q_corpus_curation,
         "ngram_jaccard": q_jaccard,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
@@ -792,6 +818,51 @@ def oracle_sql() -> dict[str, str]:
                                 ORDER BY score DESC NULLS LAST, doc_id) AS rn
       FROM lab
     ) WHERE rn = 1""",
+        "corpus_curation": cc_ctes
+        + f""",
+    sc AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1) AS score
+      FROM documents
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             sc.score
+      FROM documents d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      LEFT JOIN sc ON sc.doc_id = d.doc_id
+    ),
+    surv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY score DESC NULLS LAST, doc_id)
+                 AS rn
+        FROM lab
+      ) WHERE rn = 1
+    ),
+    tk AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents),
+    lng AS (
+      SELECT doc_id, {lang_pick} AS lang_guess FROM (
+        SELECT doc_id, {lang_scores} FROM tk
+      )
+    ),
+    q AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1) AS alpha_ratio,
+             len(tk) AS n_tokens
+      FROM tk
+    )
+    SELECT d.doc_id, q.n_tokens
+    FROM documents d
+    JOIN surv USING (doc_id)
+    JOIN lng USING (doc_id)
+    JOIN q USING (doc_id)
+    WHERE lng.lang_guess = 'en' AND q.alpha_ratio > 0.7
+      AND q.n_tokens >= 5""",
         "ngram_jaccard": f"""WITH {_sh_cte("WHERE doc_id % 10 = 0")},
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
