@@ -226,3 +226,20 @@ def test_features_from_documents_non_numeric_doc_ids(spark):
     assert [r["fkey"] for r in out2] == [
         "doc_0002#0", "doc_0002#1", "doc_0007#0",
     ]
+
+
+def test_table_seam_path_and_identifier(spark, tmp_path):
+    """read_table/write_table resolve both forms: parquet paths and catalog
+    identifiers (temp view here; an Iceberg catalog is a session-config
+    swap, sources/tables.py docstring)."""
+    from topojson_spark.sources.tables import is_path, read_table, write_table
+
+    assert is_path("/x/y") and is_path("s3://b/k") and not is_path("db.t")
+
+    df = spark.range(5).selectExpr("id AS doc_id", "id % 2 AS part")
+    p = str(tmp_path / "tbl")
+    write_table(df, p, partition_by=["part"])
+    assert read_table(spark, p).count() == 5
+
+    df.createOrReplaceTempView("tmp_docs_seam")
+    assert read_table(spark, "tmp_docs_seam").count() == 5
