@@ -448,6 +448,29 @@ def q_tile_pyramid(spark, sf_dir):
     )
 
 
+def q_tile_clip(spark, sf_dir):
+    """Vector-tile clipping over event-derived horizontal segments: one
+    clipped piece per touched tile; rounding reconciles the kernel's
+    p + t*d crossing arithmetic with the oracle's exact interval math."""
+    from topojson_spark.spatial.tiles import clip_arcs_to_tiles
+
+    pts = _derived_points(spark, sf_dir)
+    arcs = pts.select(
+        F.col("point_id").alias("arc_id"),
+        F.array(
+            "x", "y", F.least(F.col("x") + 2.5, F.lit(8.0)), "y"
+        ).alias("coords"),
+    )
+    out = clip_arcs_to_tiles(arcs, (0.0, 0.0, 8.0, 8.0), zoom=3)
+    return out.select(
+        "arc_id", "tile_x", "tile_y",
+        F.round(F.col("coords")[0], 9).alias("x0"),
+        F.round(F.col("coords")[1], 9).alias("y0"),
+        F.round(F.col("coords")[2], 9).alias("x1"),
+        F.round(F.col("coords")[3], 9).alias("y1"),
+    )
+
+
 def q_knn(spark, sf_dir):
     from topojson_spark.spatial.knn import knn_join
 
@@ -614,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles": q_vector_tiles,
         "raster_tiles": q_raster,
         "tile_pyramid": q_tile_pyramid,
+        "tile_clip": q_tile_clip,
         "event_windows": q_event_windows,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
@@ -1039,6 +1063,32 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(floor(y / 8.0 * 8)::BIGINT, 0), 7) AS tile_y,
                    count(*) AS n
             FROM pts GROUP BY 1, 2""",
+        "tile_clip": """
+            WITH pts AS (
+              SELECT event_id AS arc_id,
+                     (event_id % 97) * 8.0 / 97 AS x,
+                     ((event_id * 31) % 89) * 8.0 / 89 AS y
+              FROM events
+            ),
+            seg AS (
+              SELECT arc_id, x, y, least(x + 2.5, 8.0) AS x2 FROM pts
+            ),
+            t AS (
+              SELECT seg.*, unnest(range(0, 8))::BIGINT AS tile_x FROM seg
+            ),
+            clip AS (
+              SELECT arc_id, tile_x,
+                     least(greatest(floor(y)::BIGINT, 0), 7) AS tile_y,
+                     greatest(x, tile_x::DOUBLE) AS cx0,
+                     least(x2, (tile_x + 1)::DOUBLE) AS cx1, y
+              FROM t
+              WHERE least(x2, (tile_x + 1)::DOUBLE)
+                      > greatest(x, tile_x::DOUBLE)
+            )
+            SELECT arc_id, tile_x, tile_y,
+                   round(cx0, 9) AS x0, round(y, 9) AS y0,
+                   round(cx1, 9) AS x1, round(y, 9) AS y1
+            FROM clip""",
         "event_windows": """
             SELECT epoch(time_bucket(INTERVAL '10 minutes', ts))::BIGINT
                      AS win_start,

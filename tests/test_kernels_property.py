@@ -162,3 +162,42 @@ def test_points_in_ring_unit_square(pts):
         (xy[:, 0] >= 0) & (xy[:, 0] <= 1) & (xy[:, 1] >= 0) & (xy[:, 1] <= 1)
     )
     assert np.array_equal(got, want)
+
+
+@given(coords_strategy(min_pts=2, max_pts=10))
+@settings(max_examples=200, deadline=None)
+def test_clip_polyline_contract(coords):
+    """Clipped pieces stay inside the rect; every piece vertex is either an
+    original vertex or sits on the rect boundary; total length never grows;
+    a polyline fully inside returns byte-equal."""
+    rect = (-10.0, -10.0, 10.0, 10.0)
+    pieces = K.clip_polyline_to_rect(coords, *rect)
+    eps = 1e-9 * 1e6
+    src = {tuple(p) for p in coords}
+    for pc in pieces:
+        assert (pc[:, 0] >= rect[0] - eps).all()
+        assert (pc[:, 0] <= rect[2] + eps).all()
+        assert (pc[:, 1] >= rect[1] - eps).all()
+        assert (pc[:, 1] <= rect[3] + eps).all()
+        for p in pc:
+            on_boundary = (
+                abs(p[0] - rect[0]) <= eps or abs(p[0] - rect[2]) <= eps
+                or abs(p[1] - rect[1]) <= eps or abs(p[1] - rect[3]) <= eps
+            )
+            assert tuple(p) in src or on_boundary
+
+    def length(a):
+        return float(np.sqrt((np.diff(a, axis=0) ** 2).sum(axis=1)).sum())
+
+    assert sum(length(pc) for pc in pieces) <= length(coords) + 1e-6
+
+    inside = K.clip_polyline_to_rect(
+        coords, -2e6, -2e6, 2e6, 2e6
+    )
+    if len(coords) >= 2 and length(coords) > 0:
+        assert len(inside) == 1 and np.array_equal(
+            np.asarray(inside[0]), coords[
+                np.insert((np.abs(np.diff(coords, axis=0)).sum(axis=1) != 0),
+                          0, True)
+            ]
+        )

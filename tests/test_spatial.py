@@ -267,3 +267,44 @@ def test_tile_pyramid_invariants(spark):
             kids.get((px * 2 + dx, py * 2 + dy), 0)
             for dx in (0, 1) for dy in (0, 1)
         )
+
+
+def test_clip_arcs_to_tiles(spark):
+    from topojson_spark.spatial.tiles import clip_arcs_to_tiles
+
+    # arc 0: fully inside tile (0,0) at zoom 3 -> passes through unchanged;
+    # arc 1: diagonal crossing tiles; arc 2: outside-to-outside crossing
+    arcs = spark.createDataFrame(
+        [
+            (0, [0.2, 0.2, 0.8, 0.2, 0.8, 0.8]),
+            (1, [0.5, 0.5, 1.5, 1.5]),
+            (2, [-1.0, 0.5, 9.0, 0.5]),
+        ],
+        "arc_id long, coords array<double>",
+    )
+    out = clip_arcs_to_tiles(arcs, BBOX, zoom=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["arc_id"], []).append(r)
+
+    # identity for the fully-inside arc
+    a0 = by[0]
+    assert len(a0) == 1 and a0[0]["coords"] == [0.2, 0.2, 0.8, 0.2, 0.8, 0.8]
+
+    # the diagonal splits at the exact tile corner (1,1); both tiles carry
+    # the identical crossing coordinate
+    a1 = {(r["tile_x"], r["tile_y"]): r["coords"] for r in by[1]}
+    assert a1[(0, 0)] == [0.5, 0.5, 1.0, 1.0]
+    assert a1[(1, 1)] == [1.0, 1.0, 1.5, 1.5]
+
+    # the horizontal line spans all 8 tiles in row 0; total clipped length
+    # equals the in-bbox portion (8.0), every piece stays in its tile
+    a2 = sorted(by[2], key=lambda r: r["tile_x"])
+    assert [r["tile_x"] for r in a2] == list(range(8))
+    tot = 0.0
+    for r in a2:
+        c = r["coords"]
+        assert c[1] == 0.5 and c[3] == 0.5
+        assert r["tile_x"] * 1.0 <= c[0] and c[2] <= (r["tile_x"] + 1) * 1.0
+        tot += c[2] - c[0]
+    assert tot == pytest.approx(8.0)

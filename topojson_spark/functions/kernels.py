@@ -621,6 +621,68 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return (wn != 0) | on_seg
 
 
+def clip_polyline_to_rect(
+    arr: np.ndarray, x0: float, y0: float, x1: float, y1: float
+) -> List[np.ndarray]:
+    """Clip a polyline to an axis-aligned rectangle (Liang-Barsky per
+    segment, contiguous inside-runs merged into pieces). Used by the
+    vector-tile clipper (north rule; no reference counterpart).
+
+    Exactness: interior vertices of the input are carried through
+    bit-identically (no recomputation); only genuine boundary crossings
+    introduce interpolated points, so a polyline fully inside the rect
+    returns byte-equal to its input and adjacent tiles share the exact
+    same crossing coordinates (same p + t*d arithmetic per segment).
+    Pieces shorter than 2 distinct points (grazing touches) are dropped.
+    """
+    arr = np.asarray(arr, dtype=np.float64)
+    pieces: List[list] = []
+    cur: Optional[list] = None
+    for i in range(len(arr) - 1):
+        p, q = arr[i], arr[i + 1]
+        d = q - p
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for dv, lo, hi, pv in (
+            (d[0], x0, x1, p[0]),
+            (d[1], y0, y1, p[1]),
+        ):
+            if dv == 0.0:
+                if pv < lo or pv > hi:
+                    ok = False
+                    break
+            else:
+                ta, tb = (lo - pv) / dv, (hi - pv) / dv
+                if ta > tb:
+                    ta, tb = tb, ta
+                t0, t1 = max(t0, ta), min(t1, tb)
+                if t0 > t1:
+                    ok = False
+                    break
+        if not ok:
+            cur = None
+            continue
+        a = p if t0 <= 0.0 else p + t0 * d
+        b = q if t1 >= 1.0 else p + t1 * d
+        if cur is not None and t0 <= 0.0:
+            cur.append(b)
+        else:
+            cur = [a, b]
+            pieces.append(cur)
+        if t1 < 1.0:
+            cur = None
+    out: List[np.ndarray] = []
+    for pc in pieces:
+        a2 = np.asarray(pc, dtype=np.float64)
+        keep = np.insert(
+            np.abs(np.diff(a2, axis=0)).sum(axis=1) != 0.0, 0, True
+        )
+        a2 = a2[keep]
+        if len(a2) >= 2:
+            out.append(a2)
+    return out
+
+
 def bbox_of(coords: np.ndarray) -> Tuple[float, float, float, float]:
     c = np.asarray(coords, dtype=np.float64)
     return (

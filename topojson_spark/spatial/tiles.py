@@ -72,6 +72,58 @@ def assign_arcs_to_tiles(arcs: DataFrame, bbox: Tuple, zoom: int) -> DataFrame:
     )
 
 
+def clip_arcs_to_tiles(arcs: DataFrame, bbox: Tuple, zoom: int) -> DataFrame:
+    """Per-tile clipped arc geometry: (arc_id, tile_x, tile_y, tile_id,
+    piece_seq, coords) — the step after ``assign_arcs_to_tiles`` that makes
+    each tile self-contained (emit one topology per tile without reading
+    neighbors).
+
+    Plan shape: the conservative tile assignment self-joins back to the
+    arc store on arc_id (coords shuffle once, to the (arc, tile) pairs
+    that actually touch), then an Arrow-batched mapInPandas runs the
+    Liang-Barsky kernel per pair. Interior vertices pass through
+    bit-identically and both neighbors of a shared crossing compute the
+    identical interpolated point, so cross-tile stitching needs no
+    tolerance. At 100 TB the output is written partitioned by tile_id
+    (sources/tables.py guidance) so a tile read is partition pruning."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import kernels as K
+
+    n, w, h = _tile_bounds_cols(zoom, bbox)
+    cw, ch = w / n, h / n
+    asg = assign_arcs_to_tiles(arcs, bbox, zoom).join(
+        arcs.select("arc_id", "coords"), "arc_id"
+    )
+    cols = ["arc_id", "tile_x", "tile_y", "tile_id", "piece_seq", "coords"]
+
+    def clip(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rx0 = bbox[0] + r.tile_x * cw
+                ry0 = bbox[1] + r.tile_y * ch
+                arr = np.asarray(r.coords, dtype=np.float64).reshape(-1, 2)
+                pieces = K.clip_polyline_to_rect(
+                    arr, rx0, ry0, rx0 + cw, ry0 + ch
+                )
+                for s, piece in enumerate(pieces):
+                    rows.append(
+                        (r.arc_id, r.tile_x, r.tile_y, r.tile_id, s,
+                         piece.ravel().tolist())
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return asg.mapInPandas(
+        clip,
+        schema=(
+            "arc_id long, tile_x long, tile_y long, tile_id long, "
+            "piece_seq int, coords array<double>"
+        ),
+    )
+
+
 def rasterize_points(
     points: DataFrame, bbox: Tuple, zoom: int, value_col: str | None = None
 ) -> DataFrame:
