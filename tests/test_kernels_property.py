@@ -77,10 +77,12 @@ def test_quantize_never_empty_and_dedups(coords):
 @given(ring_strategy())
 @settings(max_examples=200, deadline=None)
 def test_signed_area_negates_under_reversal(ring):
-    # reversal negates area up to float summation-order noise
+    # reversal negates area up to shoelace cancellation noise, which scales
+    # with the PRODUCT magnitudes (max|coord|^2), not with the area itself
     a = K.signed_area(ring)
     b = K.signed_area(ring[::-1])
-    assert abs(a + b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    m = float(np.abs(ring).max())
+    assert abs(a + b) <= 1e-9 * max(1.0, m * m)
 
 
 @given(ring_strategy(), st.booleans())
