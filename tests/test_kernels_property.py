@@ -90,10 +90,14 @@ def test_signed_area_negates_under_reversal(ring):
 def test_orient_ring_idempotent(ring, ccw):
     o1 = K.orient_ring(ring, ccw)
     o2 = K.orient_ring(o1, ccw)
-    # idempotent and correct whenever the area is numerically meaningful
-    # (near the 1e-16 noise floor the ccw predicate is not stable and the
-    # reference's np.sum-based test wobbles identically)
-    if abs(K.signed_area(ring)) > 1e-9:
+    # idempotent and correct whenever the area is numerically meaningful.
+    # Shoelace cancellation noise scales with max|coord|^2 (a degenerate
+    # ring at coordinate magnitude 1e6 can report area ~1e3 of pure
+    # round-off), so the meaningful-area guard must scale the same way —
+    # near that floor the ccw predicate is not stable and the reference's
+    # np.sum-based test wobbles identically.
+    m = float(np.abs(ring).max())
+    if abs(K.signed_area(ring)) > 1e-9 * max(1.0, m * m):
         assert np.array_equal(o1, o2)
         assert K.is_ccw(o1) == ccw
 

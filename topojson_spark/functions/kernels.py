@@ -634,6 +634,11 @@ def clip_polyline_to_rect(
     returns byte-equal to its input and adjacent tiles share the exact
     same crossing coordinates (same p + t*d arithmetic per segment).
     Pieces shorter than 2 distinct points (grazing touches) are dropped.
+
+    A denormal-tiny nonzero segment delta can overflow (lo - pv) / dv to
+    +-inf; the clip window math handles inf correctly (the swap and the
+    max/min clamp are IEEE-monotone), so the numpy overflow warning is
+    suppressed rather than special-cased.
     """
     arr = np.asarray(arr, dtype=np.float64)
     pieces: List[list] = []
@@ -652,7 +657,8 @@ def clip_polyline_to_rect(
                     ok = False
                     break
             else:
-                ta, tb = (lo - pv) / dv, (hi - pv) / dv
+                with np.errstate(over="ignore"):
+                    ta, tb = (lo - pv) / dv, (hi - pv) / dv
                 if ta > tb:
                     ta, tb = tb, ta
                 t0, t1 = max(t0, ta), min(t1, tb)
