@@ -392,8 +392,18 @@ def simhash_neardup_pairs(
 
     Buckets above ``bucket_cap`` members are deterministically sampled
     before the self-join (cap_bucket_members) — the exact-recall guarantee
-    then holds for pairs whose shared band survived the cap; over-cap
+    then holds for pairs whose LOWEST shared band survived the cap; over-cap
     buckets are auditable via ``hot_buckets``.
+
+    Scale note: a pair sharing m bands comes out of the band join m times,
+    but the duplicates are dropped WITHOUT a shuffle — each pair is kept
+    only in its lowest matching band, decided by recomputing the band-
+    equality bitmask from the two simhashes in whole-stage codegen
+    (``matches & (2^band - 1) == 0``). With 4-bit bands the candidate
+    volume is ~n^2/16 per band; shipping that through a dropDuplicates
+    exchange was the dominant cost of this operator at bench scale, and at
+    100 TB it would be the dominant shuffle of the whole job. The hamming
+    radius filter also runs before pair emission for the same reason.
     """
     assert max_hamming < n_bands
     assert 32 % n_bands == 0
@@ -428,15 +438,30 @@ def simhash_neardup_pairs(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
         "band", "val",
     )
+    mask = (1 << r) - 1
+    band_eq = [
+        (
+            F.shiftright(F.col("sh_a"), b2 * r).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("sh_b"), b2 * r).bitwiseAND(F.lit(mask))
+        ).cast("int") * F.lit(1 << b2)
+        for b2 in range(n_bands)
+    ]
+    matches = band_eq[0]
+    for term in band_eq[1:]:
+        matches = matches + term
     return (
         a.join(b, on=["band", "val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
         )
         .where(F.col("hamming") <= max_hamming)
+        # keep the pair only in its lowest matching band: no band below
+        # `band` has equal values, so exactly one of the m duplicate rows
+        # survives — pair dedup with zero exchanges
+        .where(
+            matches.bitwiseAND(F.expr("shiftleft(1, band) - 1")) == 0
+        )
         .select("doc_a", "doc_b", "hamming")
     )

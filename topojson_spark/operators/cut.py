@@ -143,14 +143,22 @@ def cut_stage(
     coordinate-carrying UDF pass happens here."""
     lines = lines.select(*_LINE_COLS)
 
-    # one representative per distinct line content (coords equal by digest)
-    reps = lines.groupBy("ldig").agg(
-        F.first("is_ring").alias("is_ring"),
-        F.first("coords").alias("coords"),
-        F.first("x0").alias("x0"),
-        F.first("y0").alias("y0"),
-        F.first("x1").alias("x1"),
-        F.first("y1").alias("y1"),
+    # one representative per distinct line content (coords equal by digest).
+    # Cached (plain columnar cache — the parent lines pin stays the durable
+    # copy): the splitter-match branch and the final with_split join both
+    # consume reps, and the splitter frame is small enough that the static
+    # planner broadcasts it — each un-cached consumer (including that
+    # broadcast build, which runs in its own job) would re-execute the
+    # distinct-agg over the full line store.
+    reps = pin(
+        lines.groupBy("ldig").agg(
+            F.first("is_ring").alias("is_ring"),
+            F.first("coords").alias("coords"),
+            F.first("x0").alias("x0"),
+            F.first("y0").alias("y0"),
+            F.first("x1").alias("x1"),
+            F.first("y1").alias("y1"),
+        )
     )
 
     if junctions is None:

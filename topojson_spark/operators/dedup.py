@@ -197,7 +197,11 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
             ).alias("is_keeper"),
         )
     )
-    kept_arcs = (
+    # cached: dense_index's two-phase id minting executes its input three
+    # times (range-boundary sampling, the narrow range shuffle, and the
+    # ids join back onto the payload) — without the cache each pass re-runs
+    # this survivor join against the part store
+    kept_arcs = pin(
         part_flags.where(F.col("is_keeper"))
         .join(parts.select("ldig", "split_seq", "coords"), on=["ldig", "split_seq"])
         .select("kept", "coords", "is_shared")
