@@ -47,6 +47,11 @@ CENTROIDS = [
     for k in range(4)
 ]
 
+from topojson_spark.functions.curation import (  # noqa: E402
+    decontaminate,
+    hash_sample,
+    stratified_sample,
+)
 from topojson_spark.functions.graph import (  # noqa: E402
     connected_components,
     dedup_survivors,
@@ -296,6 +301,32 @@ def q_corpus_curation(spark, sf_dir):
         )
         .select("doc_id", "n_tokens")
     )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 25% Bernoulli sample by content hash — re-run-stable
+    and partition-order independent (a rand(seed) sample is neither)."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25, salt="r3").select("doc_id", "lang")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact 20-doc quota per language, drawn by key-hash order (a seeded
+    uniform draw without replacement, deterministic across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 20, salt="r3").select(
+        "doc_id", "lang"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs (train split: doc_id % 7 != 0)
+    sharing any word 6-gram with the eval split (doc_id % 7 == 0), with
+    the count of distinct shared shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    return decontaminate(train, bench, n=6)
 
 
 def q_jaccard(spark, sf_dir):
@@ -625,6 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "corpus_curation": q_corpus_curation,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "ngram_jaccard": q_jaccard,
         "cosine_topk": q_cosine_topk,
         "ivf_assign": q_ivf_assign,
@@ -887,6 +921,40 @@ def oracle_sql() -> dict[str, str]:
     JOIN q USING (doc_id)
     WHERE lng.lang_guess = 'en' AND q.alpha_ratio > 0.7
       AND q.n_tokens >= 5""",
+        # md5-prefix hash identical to functions/curation._key_hash: first
+        # 15 hex chars of md5(key || salt) as a 60-bit int
+        "hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'r3'), 1, 15))::BIGINT
+                  < {int(0.25 * (1 << 60))}""",
+        "stratified_sample": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                ('0x' || substring(md5(doc_id::VARCHAR || 'r3'), 1, 15))::BIGINT AS hk
+              FROM documents
+            )
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY hk, doc_id) AS rk
+              FROM h
+            ) WHERE rk <= 20""",
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i : i+5], ' ') AS g
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 5, 0)))
+              ) AS s(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bench b USING (g)
+            WHERE g.doc_id % 7 <> 0
+            GROUP BY g.doc_id""",
         "ngram_jaccard": f"""WITH {_sh_cte("WHERE doc_id % 10 = 0")},
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

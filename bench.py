@@ -114,6 +114,8 @@ def main() -> None:
         "simhash_neardup",
         "minhash_lsh_pairs",
         "dedup_survivors",
+        "hash_sample",
+        "decontaminate",
         "cosine_topk",
         "ann_lsh_topk",
         "ivf_assign",

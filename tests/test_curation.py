@@ -1,0 +1,150 @@
+"""Curation operator tests: deterministic sampling + decontamination.
+
+The sampling operators' whole contract is determinism across engines and
+partitionings, so the tests here pin (a) the md5-prefix hash against a pure
+Python reimplementation, (b) partition-count invariance, and (c) the
+DuckDB-vs-Spark agreement the oracle gate re-checks at sf0.01.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from topojson_spark.functions import curation as C
+
+
+def _py_hash(key, salt=""):
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"tok{i % 7} alpha beta gamma delta tok{i % 5} epsilon zeta "
+            f"eta theta iota kappa tok{i}", ["en", "de", "fr"][i % 3])
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_key_hash_matches_python_md5(spark):
+    df = spark.createDataFrame([(7,), (123456789,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", C._key_hash(F.col("doc_id"), "s").alias("h")
+        ).collect()
+    }
+    assert got[7] == _py_hash(7, "s")
+    assert got[123456789] == _py_hash(123456789, "s")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    expected = sorted(
+        i for i in range(60) if _py_hash(i, "x") < int(0.3 * (1 << 60))
+    )
+    a = sorted(
+        r["doc_id"] for r in C.hash_sample(docs, 0.3, salt="x").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in C.hash_sample(docs.repartition(13), 0.3, salt="x").collect()
+    )
+    assert a == expected and b == expected
+    # independent draws under a different salt
+    c = sorted(
+        r["doc_id"] for r in C.hash_sample(docs, 0.3, salt="y").collect()
+    )
+    assert c != a
+
+
+def test_hash_sample_rate_bounds(docs):
+    assert C.hash_sample(docs, 0.0).count() == 0
+    assert C.hash_sample(docs, 1.0).count() == 60
+    with pytest.raises(ValueError):
+        C.hash_sample(docs, 1.5)
+
+
+def test_stratified_sample_exact_quota_by_hash_order(docs):
+    out = C.stratified_sample(docs, "lang", 4, salt="q").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 4 for v in by_lang.values())
+    # per stratum, exactly the 4 smallest hashes win
+    for lang_idx, lang in enumerate(["en", "de", "fr"]):
+        members = [i for i in range(60) if i % 3 == lang_idx]
+        want = sorted(sorted(members, key=lambda i: (_py_hash(i, "q"), i))[:4])
+        assert sorted(by_lang[lang]) == want
+
+
+def test_stratified_sample_rates_is_per_stratum_filter(spark, docs):
+    rates = spark.createDataFrame(
+        [("en", 1.0), ("de", 0.0), ("fr", 0.5)], "lang string, rate double"
+    )
+    out = C.stratified_sample_rates(docs, "lang", rates, salt="z").collect()
+    langs = {r["lang"] for r in out}
+    assert "de" not in langs and "en" in langs
+    en = sorted(r["doc_id"] for r in out if r["lang"] == "en")
+    assert en == [i for i in range(60) if i % 3 == 0]  # rate 1.0 keeps all
+    fr = {r["doc_id"] for r in out if r["lang"] == "fr"}
+    want_fr = {
+        i for i in range(60)
+        if i % 3 == 2 and _py_hash(i, "z") < int(0.5 * (1 << 60))
+    }
+    assert fr == want_fr
+
+
+def test_shingle_ngrams_window_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "  x   y  z ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", C.shingle_ngrams(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n
+    assert out[3] == []
+    assert out[4] == ["x y z"]  # whitespace runs collapse
+
+
+def test_decontaminate_counts_distinct_shared_shingles(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares 2 trigram spans
+            (2, "nothing in common here at all"),
+            (3, "quick brown fox quick brown fox"),  # repeated shingle: 1 hit
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "see the quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in C.decontaminate(docs, bench, n=3).collect()
+    }
+    # doc 1: "the quick brown", "quick brown fox", "brown fox jumps" all in
+    # bench; doc 3: only "quick brown fox" (counted once despite repeats)
+    assert out == {1: 3, 3: 1}
+
+
+def test_decontaminate_shuffle_join_path_agrees(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common phrase tail w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") < 3).select("text")
+    a = sorted(map(tuple, C.decontaminate(
+        docs.where(F.col("doc_id") >= 3), bench, n=3
+    ).collect()))
+    b = sorted(map(tuple, C.decontaminate(
+        docs.where(F.col("doc_id") >= 3), bench, n=3,
+        broadcast_benchmark=False,
+    ).collect()))
+    assert a == b and len(a) > 0

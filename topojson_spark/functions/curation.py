@@ -1,0 +1,185 @@
+"""Corpus-curation operators: deterministic sampling and decontamination.
+
+Training-data pipelines need (a) reproducible sampling — the same document
+set survives every re-run, across engines, regardless of partitioning — and
+(b) benchmark decontamination — dropping training documents that share
+verbatim n-grams with an evaluation set (the GPT-3/PaLM 13-gram protocol,
+here parameterized).
+
+Both are built on a CONTENT hash, not ``rand()``: ``rand(seed)`` is
+partition-order dependent (a repartition or AQE re-plan changes which rows
+survive), while ``md5(key)`` is a pure projection — the sample is a
+deterministic function of the data, identical on Spark, DuckDB, or a
+hand calculator. The md5-prefix trick (first 15 hex chars -> 60-bit int)
+is used instead of ``xxhash64`` because every engine agrees on md5, which
+is what makes these operators oracle-checkable bit-for-bit.
+
+100 TB design:
+
+- ``hash_sample`` is a scan-side filter (whole-stage codegen, no shuffle,
+  no state). Sampling 1% of 100 TB touches every row once and moves zero
+  bytes between executors.
+- ``stratified_sample_rates`` is the scale path for quota sampling: the
+  per-stratum rate table is tiny (one row per language/source), broadcast
+  into the same codegen filter — still zero shuffles. Deriving the rates
+  from target quotas costs one narrow groupBy-count.
+- ``stratified_sample`` (exact top-k per stratum by hash order) uses a
+  rank window partitioned on the stratum — exact quotas, but a hot stratum
+  (one language holding 90% of the corpus) lands on one reducer. Use it
+  when quotas must be exact and strata are balanced; otherwise derive
+  rates and take the filter path (the docstring's rate recipe gives
+  binomial-exact quotas in expectation with zero skew exposure).
+- ``decontaminate`` shuffles only (id, shingle) tuples; document text
+  never moves. The benchmark side (eval sets are ~1e5 documents, i.e.
+  ~1e7 shingles) is distinct-reduced and broadcast, so the probe side is
+  a map-side hash lookup over the corpus — one pass, no corpus shuffle
+  except the final per-doc count aggregation over matching shingles only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash space: 15 hex chars, exactly representable in a signed long
+# and in a double's 53-bit mantissa... NOT in the latter — so thresholds
+# are computed in integer space (rate scaled to 2^60) and never through a
+# double division.
+_HASH_BITS = 60
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def _key_hash(key_col, salt: str = ""):
+    """Uniform 60-bit integer from a key column: first 15 hex chars of
+    md5(cast(key as string) || salt). Engine-portable (DuckDB:
+    ('0x' || substr(md5(k || salt), 1, 15))::bigint)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(key_col.cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes below
+    ``rate`` of the hash space.
+
+    The survivor set is a pure function of (key, salt) — stable across
+    re-runs, partitionings and engines. Change ``salt`` to draw an
+    independent sample. The plan is a single codegen filter on the scan.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * _HASH_SPACE)
+    return df.where(_key_hash(F.col(key), salt) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exact-quota stratified sample: the k rows with the SMALLEST key
+    hash within each stratum (deterministic — equivalent to a seeded
+    uniform draw without replacement).
+
+    Exactness costs a rank window partitioned on ``strata``: a stratum's
+    candidates converge on one reducer, so this is for balanced strata /
+    moderate cardinality. For skewed corpora use
+    ``stratified_sample_rates`` (pure filter, quota exact in expectation).
+    """
+    h = _key_hash(F.col(key), salt)
+    w = Window.partitionBy(strata).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def stratified_sample_rates(
+    df: DataFrame,
+    strata: str,
+    rates: DataFrame,
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: ``rates`` is (strata, rate) — tiny,
+    broadcast — and each row survives iff its key hash falls below its
+    stratum's rate. No windows, no stratum skew exposure: the hot-language
+    problem disappears because the filter is per-row.
+
+    To hit target quotas q_s: rates = q_s / count_s from one groupBy-count.
+    """
+    r = rates.select(
+        F.col(strata),
+        (F.col("rate") * _HASH_SPACE).cast("long").alias("_threshold"),
+    )
+    return (
+        df.join(F.broadcast(r), on=strata)
+        .where(_key_hash(F.col(key), salt) < F.col("_threshold"))
+        .drop("_threshold")
+    )
+
+
+def shingle_ngrams(text_col, n: int):
+    """Word n-grams of a text column as array<string>: whitespace-split,
+    each shingle the space-join of ``n`` consecutive tokens. Documents
+    shorter than ``n`` tokens produce an empty array."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    # guard the short-doc case explicitly: Spark's sequence(1, 0) DESCENDS
+    # (yields [1, 0]) instead of returning empty the way DuckDB's
+    # generate_series does, and slice(_, 0, n) is an error
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-overlap detection: for each document sharing at least one
+    word ``n``-gram with the benchmark set, return (id_col, n_hits) where
+    n_hits counts the DISTINCT shared shingles. Join against the output
+    with a left anti to drop contaminated docs, or keep the counts for a
+    severity threshold.
+
+    ``benchmark`` needs only ``text_col``. Shingles compare as strings —
+    no hash collisions to reason about, and the DuckDB oracle rebuilds the
+    identical shingle set symbol-for-symbol. At real eval-set sizes the
+    distinct benchmark shingles broadcast (~1e7 strings); set
+    ``broadcast_benchmark=False`` to fall back to a shuffle join when they
+    don't.
+    """
+    bench_shingles = (
+        benchmark.select(
+            F.explode(shingle_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_shingles = F.broadcast(bench_shingles)
+    doc_shingles = docs.select(
+        F.col(id_col),
+        F.explode(shingle_ngrams(F.col(text_col), n)).alias("g"),
+    ).distinct()
+    return (
+        doc_shingles.join(bench_shingles, on="g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
