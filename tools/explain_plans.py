@@ -83,6 +83,22 @@ def main() -> None:
         fmt(qs["tile_pyramid"](spark, SF_DIR)),
     ))
     sections.append((
+        "hash_sample — zero-shuffle deterministic sampling",
+        "Expect: ONE parquet scan with a single codegen Filter on the"
+        " md5-prefix hash — ZERO Exchange, no Python, ReadSchema limited to"
+        " the projected columns. Sampling 1% of 100 TB is one pass that"
+        " moves no bytes between executors.",
+        fmt(qs["hash_sample"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "decontaminate — broadcast shingle semi-structure",
+        "Expect: the benchmark side distinct-reduced then BroadcastExchange;"
+        " the corpus side explodes shingles (Generate) and probes the"
+        " broadcast hash table map-side — the only real Exchange is the"
+        " final per-doc count over MATCHING shingles only.",
+        fmt(qs["decontaminate"](spark, SF_DIR)),
+    ))
+    sections.append((
         "dedup_clusters — large-star/small-star connected components",
         "Expect: the pair producer pinned once (InMemoryRelation /"
         " LogicalRDD), then per-round plans over narrow (id, id) tuples"
