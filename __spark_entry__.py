@@ -52,6 +52,9 @@ from topojson_spark.functions.curation import (  # noqa: E402
     hash_sample,
     stratified_sample,
 )
+from topojson_spark.functions.events import (  # noqa: E402
+    sessionize,
+)
 from topojson_spark.functions.graph import (  # noqa: E402
     connected_components,
     dedup_survivors,
@@ -67,6 +70,7 @@ from topojson_spark.functions.text import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
     quality_score,
+    repetition_metrics,
     simhash,
     token_count,
 )
@@ -450,6 +454,21 @@ def q_raster(spark, sf_dir):
     return out.select("tile_x", "tile_y", "n")
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token fraction plus top
+    bigram/trigram token fractions — per-row terms are codegen over the
+    scan, the gram maxima one narrow tagged-gram word-count shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-minute gap): one exchange on user_id
+    serves the lag/cumsum windows AND the session aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30)
+
+
 def q_event_windows(spark, sf_dir):
     """Tumbling 10-minute event-time windows (the batch shape of
     streaming.stream_windowed_event_counts). Sums go through decimal so
@@ -673,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "tile_clip": q_tile_clip,
         "event_windows": q_event_windows,
+        "repetition_metrics": q_repetition,
+        "sessionize": q_sessionize,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
         "media_features": q_media_features,
@@ -1163,6 +1184,73 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
             FROM events GROUP BY 1, 2""",
+        "repetition_metrics": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(tk) AS n_tokens,
+                     len(list_distinct(tk)) AS n_distinct, tk
+              FROM toks
+            ),
+            grams2 AS (
+              SELECT doc_id, 2 AS n,
+                     array_to_string(tk[s.i : s.i + 1], ' ') AS gram
+              FROM base, LATERAL (
+                SELECT unnest(generate_series(
+                  1, greatest(len(tk) - 1, 0))) AS i
+              ) s
+            ),
+            grams3 AS (
+              SELECT doc_id, 3 AS n,
+                     array_to_string(tk[s.i : s.i + 2], ' ') AS gram
+              FROM base, LATERAL (
+                SELECT unnest(generate_series(
+                  1, greatest(len(tk) - 2, 0))) AS i
+              ) s
+            ),
+            cnts AS (
+              SELECT doc_id, n, gram, count(*) AS cnt
+              FROM (SELECT * FROM grams2 UNION ALL SELECT * FROM grams3)
+              GROUP BY 1, 2, 3
+            ),
+            tops AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN cnt END) AS max2,
+                     max(CASE WHEN n = 3 THEN cnt END) AS max3
+              FROM cnts GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens,
+              (b.n_tokens - b.n_distinct) / greatest(b.n_tokens, 1)
+                AS dup_word_frac,
+              coalesce(t.max2, 0) * 2 / greatest(b.n_tokens, 1)
+                AS top_bigram_frac,
+              coalesce(t.max3, 0) * 3 / greatest(b.n_tokens, 1)
+                AS top_trigram_frac
+            FROM base b LEFT JOIN tops t USING (doc_id)""",
+        "sessionize": """
+            WITH flag AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+            ),
+            seq AS (
+              SELECT user_id, us, value,
+                (sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + 1)::INTEGER AS session_seq
+              FROM flag
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   (max(us) - min(us)) / 1000000.0 AS duration_s,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+            FROM seq GROUP BY 1, 2""",
         "tile_pyramid": """
             WITH pts AS (
               SELECT (event_id % 97) * 8.0 / 97 AS x,

@@ -138,3 +138,52 @@ def test_bucket_cap_default_is_above_test_scale(docs):
         for r in X.minhash_lsh_pairs(docs, bucket_cap=None).collect()
     )
     assert with_cap == no_cap
+
+
+# ------------------------------------------------- repetition metrics
+
+
+def test_repetition_metrics_hand_computed(spark):
+    rows = [
+        # "a b a b a" -> 5 tokens, 2 distinct; bigrams: a-b x2, b-a x2
+        # -> top_bigram 2*2/5; trigrams: a-b-a x2 ... wait: (a b a),
+        # (b a b), (a b a) -> max 2 -> 3*2/5
+        (1, "a b a b a"),
+        # all distinct, every gram unique
+        (2, "one two three four"),
+        # single token: no grams at all
+        (3, "solo"),
+        # empty doc
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from topojson_spark.functions.text import repetition_metrics
+
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert out[1]["n_tokens"] == 5
+    assert out[1]["dup_word_frac"] == pytest.approx(3 / 5)
+    assert out[1]["top_bigram_frac"] == pytest.approx(4 / 5)
+    assert out[1]["top_trigram_frac"] == pytest.approx(6 / 5)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(2 / 4)
+    assert out[2]["top_trigram_frac"] == pytest.approx(3 / 4)
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["top_trigram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["dup_word_frac"] == 0.0
+    assert out[4]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_metrics_normalizes(spark):
+    # punctuation/case fold into the same tokens before counting
+    docs = spark.createDataFrame(
+        [(1, "Spam! spam? SPAM. ham")], "doc_id long, text string"
+    )
+    from topojson_spark.functions.text import repetition_metrics
+
+    r = repetition_metrics(docs).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["dup_word_frac"] == pytest.approx(2 / 4)
+    # bigrams: spam-spam x2, spam-ham -> 2*2/4
+    assert r["top_bigram_frac"] == pytest.approx(4 / 4)

@@ -161,6 +161,91 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def _gram_strings(toks, n: int):
+    """Word n-grams of a token array as array<string> (space-joined).
+
+    Spark's ``sequence(1, 0)`` DESCENDS instead of returning empty the way
+    DuckDB's generate_series does, so the short-document case is guarded
+    explicitly (same quirk as curation.shingle_ngrams)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters: per-document duplicate-token
+    fraction and top bigram / trigram token fractions.
+
+    (Rae et al. 2021 §A1.1 uses duplicate-line and top-n-gram CHARACTER
+    fractions; the corpus here is single-line so the line family is
+    vacuous, and the fractions are token-based — same filter semantics,
+    exact integer-ratio arithmetic in both engines.)
+
+    Output: (id_col, n_tokens, dup_word_frac, top_bigram_frac,
+    top_trigram_frac) where
+
+    - ``dup_word_frac``    = 1 - distinct_tokens / n_tokens
+    - ``top_bigram_frac``  = 2 * max bigram count  / n_tokens
+    - ``top_trigram_frac`` = 3 * max trigram count / n_tokens
+
+    Plan shape at 100 TB: the per-row terms (token count, distinct count)
+    are pure codegen over the scan — no shuffle. Only the top-gram maxima
+    need grouping: bigrams and trigrams are tagged (n, gram) structs
+    exploded from ONE projection and partially aggregated map-side
+    (hash-agg on (doc, n, gram) combines repeats before the exchange), so
+    the shuffle carries at most one narrow row per distinct gram, never
+    the text. Documents shorter than two tokens produce no gram rows and
+    rejoin with zero fractions via the left join.
+    """
+    toks = tokens_col(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+    )
+
+    def _tagged(n):
+        return F.transform(
+            _gram_strings(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(_tagged(2), _tagged(3))).alias("tg"),
+    ).select("doc_id", F.col("tg.n").alias("n"), F.col("tg.gram").alias("gram"))
+    tops = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("_max2"),
+            F.max(F.when(F.col("n") == 3, F.col("cnt"))).alias("_max3"),
+        )
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    return (
+        base.join(tops, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("n_tokens") - F.col("_n_distinct")) / denom).alias(
+                "dup_word_frac"
+            ),
+            (F.coalesce(F.col("_max2"), F.lit(0)) * 2 / denom).alias(
+                "top_bigram_frac"
+            ),
+            (F.coalesce(F.col("_max3"), F.lit(0)) * 3 / denom).alias(
+                "top_trigram_frac"
+            ),
+        )
+    )
+
+
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is"],
     "de": ["der", "die", "und", "das", "ist"],
