@@ -126,6 +126,8 @@ def main() -> None:
         "raster_tiles",
         "tile_pyramid",
         "join_region",
+        "repetition_metrics",
+        "sessionize",
     ]
     qs = E.queries()
 
