@@ -208,3 +208,78 @@ def test_stream_windowed_event_counts_watermark(spark, tmp_path):
     # the closed window's counts must NOT include it (and no duplicate
     # emission of window [0,10) exists)
     assert len([k for k in got if k == (0, "a")]) == 1
+
+
+def test_stream_sessionize_gap_sessions(spark, tmp_path):
+    """session_window sessionization: a user's events within the gap merge
+    into one session row; a larger gap starts a new session; sessions emit
+    once the watermark passes (append mode)."""
+    import datetime as dt
+
+    from topojson_spark.streaming.ingest import stream_sessionize
+
+    src = str(tmp_path / "sess_in")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [(t0 + dt.timedelta(minutes=m), int(u), float(v))
+                for m, u, v in specs]
+
+    schema = "ts timestamp, user_id long, value double"
+    # batch 1: user 1 -> events at 0 and 10 min (one session);
+    # user 2 -> single event
+    spark.createDataFrame(
+        rows((0, 1, 1.0), (10, 1, 2.0), (5, 2, 7.0)), schema
+    ).coalesce(1).write.parquet(src)
+    # batch 2: user 1 again 50 min later (NEW session: 50 - 10 > 30)
+    spark.createDataFrame(rows((60, 1, 4.0)), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    # batch 3/4: watermark driver far in the future closes everything
+    # (watermark advancement lags one batch, hence two driver batches)
+    spark.createDataFrame(rows((600, 3, 0.0)), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(rows((601, 3, 0.0)), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap="30 minutes", watermark="60 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def mins(ts):
+        return ts.hour * 60 + ts.minute
+
+    got = {
+        (r["user_id"], mins(r["session_start"])): r
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 1 session A: events at 0 and 10 min merge -> window [0, 40)
+    # (session end = last event + gap)
+    assert got[(1, 0)]["n_events"] == 2
+    assert got[(1, 0)]["sum_value"] == 3.0
+    assert mins(got[(1, 0)]["session_end"]) == 40
+    # user 1 session B: the 60-min event is 50 min after the last -> its
+    # own session [60, 90)
+    assert got[(1, 60)]["n_events"] == 1
+    assert got[(1, 60)]["sum_value"] == 4.0
+    assert mins(got[(1, 60)]["session_end"]) == 90
+    # user 2: single-event session [5, 35)
+    assert got[(2, 5)]["n_events"] == 1
+    assert got[(2, 5)]["sum_value"] == 7.0
+    assert mins(got[(2, 5)]["session_end"]) == 35

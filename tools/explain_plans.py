@@ -107,6 +107,23 @@ def main() -> None:
         fmt(qs["dedup_clusters"](spark, SF_DIR)),
     ))
     sections.append((
+        "repetition_metrics — tagged-gram word-count shuffle",
+        "Expect: per-row terms (token count, distinct count) as codegen"
+        " projections over ONE scan; a Generate (explode) of tagged"
+        " (n, gram) structs feeding HashAggregate partial+final on"
+        " (doc, n, gram) — map-side combine shrinks repeated grams before"
+        " the Exchange; no Python anywhere.",
+        fmt(qs["repetition_metrics"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "sessionize — one exchange for windows AND aggregate",
+        "Expect: exactly ONE Exchange hashpartitioning(user_id): the"
+        " lag/cumsum Window sort and the final session HashAggregate reuse"
+        " the same partitioning (groupBy keys are a superset of the window"
+        " partition key); no Python.",
+        fmt(qs["sessionize"](spark, SF_DIR)),
+    ))
+    sections.append((
         "pip_lattice — cell-join + winding refine",
         "Expect: cell-id equi-join (Exchange on cell), ArrowEvalPython ONLY"
         " for the exact point-in-polygon refine over candidate pairs.",

@@ -178,6 +178,42 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Continuous gap-based sessionization — the streaming twin of
+    functions.events.sessionize, expressed with the engine's native
+    ``session_window`` (dynamic-gap session state in the state store, no
+    custom Python state).
+
+    A user's session stays open while events keep arriving within ``gap``
+    of the last one; it emits exactly once (append mode), when the
+    watermark passes session_end + gap. State per open session is one
+    merged window row keyed by (user_id, session) — bounded by the
+    watermark horizon. Returns (user_id, session_start, session_end,
+    n_events, sum_value).
+
+    Semantics note vs the batch operator: ``session_window`` closes a
+    session when the NEXT event is >= gap away (boundary event merges),
+    while the batch rule splits only on STRICTLY greater gaps — identical
+    except for events landing exactly on the gap boundary, which
+    microsecond timestamps make measure-zero in practice."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 def span_stats_stream(documents_stream: DataFrame) -> DataFrame:
     """Per-kind running span counts — the streaming observability surface
     (counts per micro-batch window; complete-mode aggregation)."""
