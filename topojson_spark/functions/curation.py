@@ -165,6 +165,12 @@ def decontaminate(
     distinct benchmark shingles broadcast (~1e7 strings); set
     ``broadcast_benchmark=False`` to fall back to a shuffle join when they
     don't.
+
+    Plan shape: the corpus side probes the broadcast set FIRST (map-side,
+    zero shuffle) and only the matching (doc, shingle) rows — rare by
+    construction — reach the count-distinct exchange. Deduplicating the
+    corpus shingles before the join would instead shuffle every shingle of
+    every document; at 100 TB that ordering is the whole game.
     """
     bench_shingles = (
         benchmark.select(
@@ -177,9 +183,9 @@ def decontaminate(
     doc_shingles = docs.select(
         F.col(id_col),
         F.explode(shingle_ngrams(F.col(text_col), n)).alias("g"),
-    ).distinct()
+    )
     return (
         doc_shingles.join(bench_shingles, on="g")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct(F.col("g")).alias("n_hits"))
     )
