@@ -148,3 +148,24 @@ def test_decontaminate_shuffle_join_path_agrees(spark):
         broadcast_benchmark=False,
     ).collect()))
     assert a == b and len(a) > 0
+
+
+def test_decontaminate_probes_before_any_exchange(spark):
+    """Scale-shape pin: the corpus side must reach the broadcast probe
+    straight from the scan — the only Exchange in the plan is the per-doc
+    count over MATCHING shingles (a full-corpus distinct before the join
+    would shuffle every shingle of every document)."""
+    from topojson_spark.functions.curation import decontaminate
+
+    docs = spark.range(0, 50).selectExpr(
+        "id AS doc_id", "concat('w', id % 7, ' x y z a b c') AS text"
+    )
+    bench = spark.createDataFrame(
+        [("w0 x y z a b c",)], "text string"
+    )
+    plan = (
+        decontaminate(docs, bench, n=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
