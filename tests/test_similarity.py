@@ -101,3 +101,45 @@ def test_ivf_topk_probe_recall(spark):
     assert [(r["vec_id"], r["rank"]) for r in full] == [
         (r["vec_id"], r["rank"]) for r in brute
     ]
+
+
+def test_netpbm_decode_is_real(spark):
+    """P5/P6 payloads take the REAL decode path: exact header parse,
+    raster read, and integer BT.601 luminance — verified byte-for-byte
+    against hand-built images (no imaging library involved)."""
+    import numpy as np
+
+    from topojson_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_image,
+        encode_ppm,
+        extract_features,
+    )
+
+    # P5 grayscale round-trip: decode(encode(x)) == x
+    plane = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+    assert np.array_equal(_decode_image(encode_ppm(plane), -1, -1), plane)
+
+    # P6 RGB -> integer BT.601 luminance
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)   # 299*255//1000 = 76
+    rgb[0, 1] = (0, 255, 0)   # 587*255//1000 = 149
+    rgb[1, 0] = (0, 0, 255)   # 114*255//1000 = 29
+    rgb[1, 1] = (10, 20, 30)  # (2990+11740+3420)//1000 = 18
+    got = _decode_image(encode_ppm(rgb), -1, -1)
+    assert got.tolist() == [[76, 149], [29, 18]]
+
+    # comments + arbitrary whitespace in the header parse
+    hdr = b"P5 # a comment\n 2\n# another\n 2 255\n" + bytes([1, 2, 3, 4])
+    assert _decode_image(hdr, -1, -1).tolist() == [[1, 2], [3, 4]]
+
+    # end-to-end through the mapInPandas feature op: an 8x8 constant-120
+    # P6 image must yield exactly 64 features of 120/255
+    const = np.full((8, 8, 3), 120, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("ppm_0", "image", bytearray(encode_ppm(const)), (8, 8, None, None))],
+        schema=MEDIA_SCHEMA,
+    )
+    feats = extract_features(media, out_size=8).collect()[0]["feat"]
+    assert len(feats) == 64
+    assert all(abs(f - 120 / 255) < 1e-6 for f in feats)

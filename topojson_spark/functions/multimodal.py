@@ -2,9 +2,11 @@
 
 Images/audio/video travel as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, batching, partition sizing) is real and tested.
-The actual codec work is stubbed behind ``_decode_image`` because no
-image/audio library ships in this container — swap the stub for PIL/ffmpeg
-in production; the mapInPandas batch shape stays identical.
+Decoding: binary netpbm (P5/P6) decodes for REAL in pure numpy (header
+parse + raster read + integer BT.601 luminance, byte-exact tests); every
+other codec is stubbed behind a deterministic fake because no image/audio
+library ships in this container — swap the fallback for PIL/ffmpeg in
+production; the mapInPandas batch shape stays identical.
 
 Design notes for 100 TB: payloads are *not* shuffled — every op below is a
 narrow mapInPandas; ``spark.sql.files.maxPartitionBytes`` bounds the bytes
@@ -52,18 +54,73 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: deterministic fake decode (no image libs in this container).
+def _parse_netpbm_header(payload: bytes):
+    """Parse a binary netpbm header (P5 grayscale / P6 RGB): magic, then
+    whitespace-separated width, height, maxval with '#' comments allowed,
+    then ONE whitespace byte before the raster. Returns
+    (channels, width, height, maxval, raster_offset)."""
+    magic = payload[:2]
+    channels = 1 if magic == b"P5" else 3
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    return channels, w, h, maxval, pos
 
-    Production: replace with PIL.Image.open(io.BytesIO(payload)). The fake
-    derives a (h, w) luminance plane from the payload bytes so the
-    downstream plumbing (resize, feature extraction, batching) is fully
-    exercised and reproducible.
+
+def encode_ppm(plane: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 luminance plane or (h, w, 3) RGB array as a
+    binary netpbm payload (P5/P6) — the inverse of the real decode path,
+    used by tests and the synthetic media generator."""
+    a = np.asarray(plane, dtype=np.uint8)
+    if a.ndim == 2:
+        header = b"P5 %d %d 255\n" % (a.shape[1], a.shape[0])
+    else:
+        header = b"P6 %d %d 255\n" % (a.shape[1], a.shape[0])
+    return header + a.tobytes()
+
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode to a (h, w) uint8 luminance plane.
+
+    REAL path: binary netpbm (P5 grayscale, P6 RGB) decodes in pure numpy
+    — header parse, frombuffer, and for P6 the integer ITU-R BT.601
+    luminance (299 R + 587 G + 114 B) // 1000. Header dimensions are the
+    truth; the metadata width/height are advisory for real formats.
+
+    STUB path: any other codec (JPEG/PNG/...) falls back to a
+    deterministic fake plane derived from the payload sha1 — no imaging
+    library ships in this container; swap for PIL/cv2 in production (the
+    mapInPandas batch shape stays identical either way).
     """
+    if payload[:2] in (b"P5", b"P6"):
+        ch, w, h, maxval, off = _parse_netpbm_header(payload)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm rasters not supported")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                               offset=off)
+        if ch == 1:
+            return raster.reshape(h, w).copy()
+        rgb = raster.reshape(h, w, 3).astype(np.uint32)
+        lum = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+               + 114 * rgb[:, :, 2]) // 1000
+        return lum.astype(np.uint8)
     if width <= 0 or height <= 0:
         raise NotImplementedError(
-            "real image decode requires an imaging library (PIL/cv2); "
-            "metadata must carry width/height for the deterministic stub"
+            "real decode of non-netpbm codecs requires an imaging library "
+            "(PIL/cv2); metadata must carry width/height for the "
+            "deterministic stub"
         )
     seed = int.from_bytes(hashlib.sha1(payload).digest()[:8], "little")
     rng = np.random.default_rng(seed)
