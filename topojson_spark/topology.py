@@ -91,6 +91,16 @@ class Topology:
                     data, self.options.object_names()[0]
                 )
             else:
+                # fail fast with the two accepted shapes — a wrong table
+                # otherwise dies deep inside an executor UDF batch
+                if "geom_json" not in data.columns:
+                    raise ValueError(
+                        "DataFrame input must be either the interleaved "
+                        "corpus documents(doc_id, spans:array<struct<kind,"
+                        "text,media_ref,offset>>) (BASELINE input_hint) or "
+                        "a features table with a geom_json column; got "
+                        f"columns {data.columns}"
+                    )
                 features_in = data
                 if "skip_validate" not in features_in.columns:
                     features_in = features_in.withColumn(
