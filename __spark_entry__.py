@@ -1223,9 +1223,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, b.n_tokens,
               (b.n_tokens - b.n_distinct) / greatest(b.n_tokens, 1)
                 AS dup_word_frac,
-              coalesce(t.max2, 0) * 2 / greatest(b.n_tokens, 1)
+              least(coalesce(t.max2, 0) * 2 / greatest(b.n_tokens, 1), 1.0)
                 AS top_bigram_frac,
-              coalesce(t.max3, 0) * 3 / greatest(b.n_tokens, 1)
+              least(coalesce(t.max3, 0) * 3 / greatest(b.n_tokens, 1), 1.0)
                 AS top_trigram_frac
             FROM base b LEFT JOIN tops t USING (doc_id)""",
         "sessionize": """

@@ -133,6 +133,22 @@ def test_netpbm_decode_is_real(spark):
     hdr = b"P5 # a comment\n 2\n# another\n 2 255\n" + bytes([1, 2, 3, 4])
     assert _decode_image(hdr, -1, -1).tolist() == [[1, 2], [3, 4]]
 
+    # maxval < 255: samples are FRACTIONS of maxval and must rescale to
+    # the 8-bit range (round-half-up), so 15/15 -> 255, 7/15 -> 119
+    lo = b"P5 2 2 15\n" + bytes([0, 7, 8, 15])
+    assert _decode_image(lo, -1, -1).tolist() == [
+        [0, (7 * 255 + 7) // 15], [(8 * 255 + 7) // 15, 255]
+    ]
+    # P6 low-maxval: rescale precedes the luma step; pure red at maxval 3
+    lo6 = b"P6 1 1 3\n" + bytes([3, 0, 0])
+    assert _decode_image(lo6, -1, -1).tolist() == [[299 * 255 // 1000]]
+
+    # maxval 0 is malformed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _decode_image(b"P5 1 1 0\n\x00", -1, -1)
+
     # end-to-end through the mapInPandas feature op: an 8x8 constant-120
     # P6 image must yield exactly 64 features of 120/255
     const = np.full((8, 8, 3), 120, dtype=np.uint8)

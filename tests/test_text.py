@@ -146,8 +146,8 @@ def test_bucket_cap_default_is_above_test_scale(docs):
 def test_repetition_metrics_hand_computed(spark):
     rows = [
         # "a b a b a" -> 5 tokens, 2 distinct; bigrams: a-b x2, b-a x2
-        # -> top_bigram 2*2/5; trigrams: a-b-a x2 ... wait: (a b a),
-        # (b a b), (a b a) -> max 2 -> 3*2/5
+        # -> top_bigram 2*2/5; trigrams (a b a), (b a b), (a b a) ->
+        # max 2 -> raw 3*2/5 = 1.2 over OVERLAPPING grams, clamped to 1
         (1, "a b a b a"),
         # all distinct, every gram unique
         (2, "one two three four"),
@@ -163,7 +163,9 @@ def test_repetition_metrics_hand_computed(spark):
     assert out[1]["n_tokens"] == 5
     assert out[1]["dup_word_frac"] == pytest.approx(3 / 5)
     assert out[1]["top_bigram_frac"] == pytest.approx(4 / 5)
-    assert out[1]["top_trigram_frac"] == pytest.approx(6 / 5)
+    # raw overlap-counted ratio is 6/5; the operator clamps to the Gopher
+    # character-fraction bound of 1
+    assert out[1]["top_trigram_frac"] == pytest.approx(1.0)
     assert out[2]["dup_word_frac"] == 0.0
     assert out[2]["top_bigram_frac"] == pytest.approx(2 / 4)
     assert out[2]["top_trigram_frac"] == pytest.approx(3 / 4)

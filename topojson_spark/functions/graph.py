@@ -42,6 +42,7 @@ def connected_components(
     id_out: str = "doc_id",
     cluster_out: str = "cluster_id",
     max_iters: int = 25,
+    metrics=None,
 ) -> DataFrame:
     """Transitive closure of an undirected pair graph.
 
@@ -51,6 +52,16 @@ def connected_components(
     node itself for roots). Nodes never mentioned in ``pairs`` are implicit
     singletons — join with a left outer and ``coalesce``
     (see ``dedup_survivors``).
+
+    Convergence is PROVEN per run, never assumed: the loop must reach the
+    star-forest fixed point (or the edge-set fingerprint must stop
+    moving) within ``max_iters`` rounds, else it **raises** RuntimeError
+    rather than silently emitting labels computed from a non-converged
+    edge set — large-star/small-star converges in O(log^2 n) rounds, so
+    exhaustion at the default 25 means something is genuinely wrong, and
+    wrong cluster ids here would merge/split dedup clusters without any
+    other signal. Pass a ``plans.metrics.StageMetrics`` as ``metrics`` to
+    additionally record (rounds, converged) per run.
     """
     # pin the pair producer ONCE — nodes and the edge seed both read it;
     # without this a pair plan like minhash LSH would execute twice
@@ -74,7 +85,10 @@ def connected_components(
     )
     e = pin_truncate(e)
     prev_sig = None
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # -- large-star: for every node u, point each STRICTLY LARGER
         #    neighbor at m = min(N(u) + {u}). Output stays big->small.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -120,6 +134,7 @@ def connected_components(
         sig = (sig_row["n"], sig_row["h"])
         e = e_new
         if sig == prev_sig or sig[0] == 0:
+            converged = True
             break
         prev_sig = sig
         if sig_row["n"] == sig_row["nu"]:
@@ -132,7 +147,21 @@ def connected_components(
                 how="left_semi",
             )
             if roots_as_members.isEmpty():
+                converged = True
                 break
+    if metrics is not None:
+        metrics.record(
+            "connected_components", rounds=rounds, converged=converged
+        )
+    if not converged:
+        # exhaustion would mean the final min-label pass runs on a
+        # NON-converged edge set — silent wrong cluster ids. Fail loudly.
+        raise RuntimeError(
+            f"connected_components did not reach the star-forest fixed "
+            f"point in max_iters={max_iters} rounds; raise max_iters "
+            f"(convergence is O(log^2 n) rounds — exhaustion at the "
+            f"default indicates a pathological or adversarial graph)"
+        )
     # at the star fixed point every edge is (member, root); roots and
     # isolated-by-dedup nodes label themselves
     labels = e.groupBy("u").agg(F.min("v").alias("c"))

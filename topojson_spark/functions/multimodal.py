@@ -96,8 +96,10 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
     REAL path: binary netpbm (P5 grayscale, P6 RGB) decodes in pure numpy
     — header parse, frombuffer, and for P6 the integer ITU-R BT.601
-    luminance (299 R + 587 G + 114 B) // 1000. Header dimensions are the
-    truth; the metadata width/height are advisory for real formats.
+    luminance (299 R + 587 G + 114 B) // 1000. Samples with maxval < 255
+    are rescaled to the full 8-bit range (round-half-up) before the luma
+    step. Header dimensions are the truth; the metadata width/height are
+    advisory for real formats.
 
     STUB path: any other codec (JPEG/PNG/...) falls back to a
     deterministic fake plane derived from the payload sha1 — no imaging
@@ -108,8 +110,17 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         ch, w, h, maxval, off = _parse_netpbm_header(payload)
         if maxval > 255:
             raise NotImplementedError("16-bit netpbm rasters not supported")
+        if maxval < 1:
+            raise ValueError(f"invalid netpbm maxval {maxval}")
         raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
                                offset=off)
+        if maxval != 255:
+            # netpbm samples are fractions of maxval; rescale to the 8-bit
+            # luminance range (round-half-up integer math) so downstream
+            # /255 normalization is correct for e.g. maxval-15 payloads
+            raster = (
+                (raster.astype(np.uint32) * 255 + maxval // 2) // maxval
+            ).clip(0, 255).astype(np.uint8)
         if ch == 1:
             return raster.reshape(h, w).copy()
         rgb = raster.reshape(h, w, 3).astype(np.uint32)

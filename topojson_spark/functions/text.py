@@ -181,16 +181,21 @@ def repetition_metrics(
     fraction and top bigram / trigram token fractions.
 
     (Rae et al. 2021 §A1.1 uses duplicate-line and top-n-gram CHARACTER
-    fractions; the corpus here is single-line so the line family is
-    vacuous, and the fractions are token-based — same filter semantics,
-    exact integer-ratio arithmetic in both engines.)
+    fractions, which are bounded by 1 because each character is counted
+    once; the corpus here is single-line so the line family is vacuous,
+    and the fractions are token-based. Token grams OVERLAP, so the raw
+    ratio ``max_count * n / n_tokens`` can exceed 1 on highly repetitive
+    docs ("a b a b a" has top_trigram 2*3/5 = 1.2); to keep Gopher's
+    bounded-filter semantics — a threshold near 1 means "almost the whole
+    document is one repeated gram" — the gram fractions are clamped to
+    [0, 1] in both engines. Exact integer-ratio arithmetic otherwise.)
 
     Output: (id_col, n_tokens, dup_word_frac, top_bigram_frac,
     top_trigram_frac) where
 
     - ``dup_word_frac``    = 1 - distinct_tokens / n_tokens
-    - ``top_bigram_frac``  = 2 * max bigram count  / n_tokens
-    - ``top_trigram_frac`` = 3 * max trigram count / n_tokens
+    - ``top_bigram_frac``  = min(1, 2 * max bigram count  / n_tokens)
+    - ``top_trigram_frac`` = min(1, 3 * max trigram count / n_tokens)
 
     Plan shape at 100 TB: the per-row terms (token count, distinct count)
     are pure codegen over the scan — no shuffle. Only the top-gram maxima
@@ -236,12 +241,12 @@ def repetition_metrics(
             ((F.col("n_tokens") - F.col("_n_distinct")) / denom).alias(
                 "dup_word_frac"
             ),
-            (F.coalesce(F.col("_max2"), F.lit(0)) * 2 / denom).alias(
-                "top_bigram_frac"
-            ),
-            (F.coalesce(F.col("_max3"), F.lit(0)) * 3 / denom).alias(
-                "top_trigram_frac"
-            ),
+            F.least(
+                F.coalesce(F.col("_max2"), F.lit(0)) * 2 / denom, F.lit(1.0)
+            ).alias("top_bigram_frac"),
+            F.least(
+                F.coalesce(F.col("_max3"), F.lit(0)) * 3 / denom, F.lit(1.0)
+            ).alias("top_trigram_frac"),
         )
     )
 

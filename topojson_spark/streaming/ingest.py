@@ -195,11 +195,15 @@ def stream_sessionize(
     watermark horizon. Returns (user_id, session_start, session_end,
     n_events, sum_value).
 
-    Semantics note vs the batch operator: ``session_window`` closes a
-    session when the NEXT event is >= gap away (boundary event merges),
-    while the batch rule splits only on STRICTLY greater gaps — identical
-    except for events landing exactly on the gap boundary, which
-    microsecond timestamps make measure-zero in practice."""
+    Semantics note vs the batch operator: the two agree EVERYWHERE,
+    including the boundary. ``session_window`` merges an event landing
+    exactly ``gap`` after its predecessor (a session's half-open window
+    [start, last+gap) is extended whenever the next event's window
+    overlaps it, and last+gap itself overlaps), and the batch rule in
+    functions.events.sessionize splits only on strictly-greater gaps —
+    the same keep-at-exact-gap behavior, verified empirically with two
+    events exactly 30 minutes apart under a 30-minute gap (one session
+    in both engines)."""
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
