@@ -164,8 +164,67 @@ def test_decontaminate_probes_before_any_exchange(spark):
         [("w0 x y z a b c",)], "text string"
     )
     plan = (
-        decontaminate(docs, bench, n=6)
+        decontaminate(docs, bench, n=6, broadcast_benchmark=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_auto_sizes_build_side(spark):
+    """broadcast_benchmark=None sizes the distinct-shingle build side and
+    records the decision: under the byte cap -> broadcast join; over the
+    cap (forced with a tiny cap) -> shuffle join. All three paths must
+    return the identical result (VERDICT r3 wrong #3 / advice #4)."""
+    from topojson_spark.plans.metrics import StageMetrics
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common phrase tail w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus = docs.where(F.col("doc_id") >= 3)
+    bench = docs.where(F.col("doc_id") < 3).select("text")
+    expected = sorted(
+        map(tuple, C.decontaminate(
+            corpus, bench, n=3, broadcast_benchmark=True
+        ).collect())
+    )
+    assert len(expected) > 0
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # auto, generous cap -> broadcast chosen, decision recorded
+    m1 = StageMetrics()
+    out1 = C.decontaminate(corpus, bench, n=3, metrics=m1)
+    assert sorted(map(tuple, out1.collect())) == expected
+    rec1 = m1.snapshot()["decontaminate"]
+    assert rec1["broadcast"] is True
+    assert rec1["n_benchmark_shingles"] > 0
+    assert rec1["est_build_bytes"] > 48 * rec1["n_benchmark_shingles"]
+    assert "BroadcastHashJoin" in plan_of(out1)
+
+    # auto, 1-byte cap -> no broadcast hint; with the planner's own
+    # small-table broadcasting disabled the join must be a shuffle join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        m2 = StageMetrics()
+        out2 = C.decontaminate(
+            corpus, bench, n=3, metrics=m2, auto_broadcast_max_bytes=1
+        )
+        assert sorted(map(tuple, out2.collect())) == expected
+        rec2 = m2.snapshot()["decontaminate"]
+        assert rec2["broadcast"] is False
+        assert rec2["n_benchmark_shingles"] == rec1["n_benchmark_shingles"]
+        assert "BroadcastHashJoin" not in plan_of(out2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # forced choice skips the sizing pass but still records it
+    m3 = StageMetrics()
+    C.decontaminate(
+        corpus, bench, n=3, metrics=m3, broadcast_benchmark=False
+    )
+    assert m3.snapshot()["decontaminate"]["broadcast"] is False
+    assert m3.snapshot()["decontaminate"]["n_benchmark_shingles"] is None

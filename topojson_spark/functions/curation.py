@@ -151,7 +151,9 @@ def decontaminate(
     n: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_benchmark: bool = True,
+    broadcast_benchmark: Optional[bool] = None,
+    auto_broadcast_max_bytes: int = 128 << 20,
+    metrics=None,
 ) -> DataFrame:
     """Benchmark-overlap detection: for each document sharing at least one
     word ``n``-gram with the benchmark set, return (id_col, n_hits) where
@@ -161,16 +163,27 @@ def decontaminate(
 
     ``benchmark`` needs only ``text_col``. Shingles compare as strings —
     no hash collisions to reason about, and the DuckDB oracle rebuilds the
-    identical shingle set symbol-for-symbol. At real eval-set sizes the
-    distinct benchmark shingles broadcast (~1e7 strings); set
-    ``broadcast_benchmark=False`` to fall back to a shuffle join when they
-    don't.
+    identical shingle set symbol-for-symbol.
 
-    Plan shape: the corpus side probes the broadcast set FIRST (map-side,
-    zero shuffle) and only the matching (doc, shingle) rows — rare by
-    construction — reach the count-distinct exchange. Deduplicating the
-    corpus shingles before the join would instead shuffle every shingle of
-    every document; at 100 TB that ordering is the whole game.
+    Build-side sizing (``broadcast_benchmark``): ``None`` (default) sizes
+    the build side with a one-row aggregate over the distinct benchmark
+    shingles — estimated bytes = sum of UTF-8 lengths + 48 B/row object
+    overhead — and broadcasts only under ``auto_broadcast_max_bytes``
+    (default 128 MB: comfortably driver/executor-safe, far above Spark's
+    10 MB autoBroadcastJoinThreshold because this build side is a
+    distinct-reduced string set worth shipping). A real ~1e7-shingle eval
+    set estimates to several hundred MB and auto-selects the shuffle
+    join. ``True``/``False`` force the choice and skip the sizing pass.
+    The decision is recorded through ``metrics``
+    (``plans.metrics.StageMetrics.record``) when provided.
+
+    Plan shape, broadcast path: the corpus side probes the broadcast set
+    FIRST (map-side, zero shuffle) and only the matching (doc, shingle)
+    rows — rare by construction — reach the count-distinct exchange.
+    Deduplicating the corpus shingles before the join would instead
+    shuffle every shingle of every document; at 100 TB that ordering is
+    the whole game. Shuffle path: both sides exchange on the shingle —
+    still only (id, shingle) tuples, never document text.
     """
     bench_shingles = (
         benchmark.select(
@@ -178,6 +191,33 @@ def decontaminate(
         )
         .distinct()
     )
+    if broadcast_benchmark is None:
+        # the sizing aggregate is an action, so pin the distinct shingle
+        # set first — the probe join then reuses the materialized blocks
+        # instead of re-running the benchmark scan+distinct
+        from ..plans.pin import pin_truncate
+
+        bench_shingles = pin_truncate(bench_shingles)
+        stats = bench_shingles.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.octet_length("g")), F.lit(0)).alias("b"),
+        ).collect()[0]
+        est_bytes = int(stats["b"]) + 48 * int(stats["n"])
+        broadcast_benchmark = est_bytes <= auto_broadcast_max_bytes
+        if metrics is not None:
+            metrics.record(
+                "decontaminate",
+                n_benchmark_shingles=int(stats["n"]),
+                est_build_bytes=est_bytes,
+                broadcast=broadcast_benchmark,
+            )
+    elif metrics is not None:
+        metrics.record(
+            "decontaminate",
+            n_benchmark_shingles=None,
+            est_build_bytes=None,
+            broadcast=broadcast_benchmark,
+        )
     if broadcast_benchmark:
         bench_shingles = F.broadcast(bench_shingles)
     doc_shingles = docs.select(
