@@ -125,6 +125,7 @@ def main() -> None:
         "knn_grid",
         "raster_tiles",
         "tile_pyramid",
+        "tile_clip",
         "join_region",
         "repetition_metrics",
         "sessionize",

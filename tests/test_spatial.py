@@ -308,3 +308,68 @@ def test_clip_arcs_to_tiles(spark):
         assert r["tile_x"] * 1.0 <= c[0] and c[2] <= (r["tile_x"] + 1) * 1.0
         tot += c[2] - c[0]
     assert tot == pytest.approx(8.0)
+
+
+def test_batched_clip_kernel_matches_scalar_bitwise():
+    """The batched Liang-Barsky kernel (one numpy pass over concatenated
+    pair buffers — the r4 replacement for the per-(arc,tile) itertuples
+    loop) must reproduce the scalar kernel PIECE-FOR-PIECE, BIT-FOR-BIT
+    on randomized polylines: same piece count/order, identical float64
+    payloads (np.array_equal, no tolerance)."""
+    import random
+
+    import numpy as np
+
+    from topojson_spark.functions.kernels import (
+        clip_polyline_to_rect,
+        clip_polylines_to_rects_batch,
+    )
+
+    rng = random.Random(1234)
+    polylines, rects = [], []
+    for i in range(300):
+        n = rng.choice([0, 1, 2, 3, 5, 9, 17])
+        style = rng.random()
+        pts = []
+        for _ in range(n):
+            if style < 0.3:
+                # snapped to a coarse grid: exercises on-boundary points,
+                # zero-length segments and axis-parallel runs
+                pts.append((rng.randint(-2, 6) * 0.5, rng.randint(-2, 6) * 0.5))
+            else:
+                pts.append((rng.uniform(-2, 4), rng.uniform(-2, 4)))
+        if n >= 2 and rng.random() < 0.3:
+            pts[rng.randrange(1, n)] = pts[rng.randrange(n)]  # dup vertex
+        polylines.append(np.asarray(pts, np.float64).reshape(-1, 2))
+        x0, y0 = rng.uniform(-1, 2), rng.uniform(-1, 2)
+        rects.append((x0, y0, x0 + rng.uniform(0.1, 2), y0 + rng.uniform(0.1, 2)))
+    # a few degenerate rects aligned exactly on grid lines
+    polylines.append(np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]))
+    rects.append((0.0, 0.0, 1.0, 1.0))
+    polylines.append(np.array([[0.5, -1.0], [0.5, 2.0]]))
+    rects.append((0.0, 0.0, 1.0, 1.0))
+
+    lens = np.array([len(p) for p in polylines], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    flat = (
+        np.concatenate([p for p in polylines if len(p)])
+        if offsets[-1] else np.empty((0, 2))
+    )
+    pair, seq, p_off, out = clip_polylines_to_rects_batch(
+        flat, offsets, np.asarray(rects, np.float64)
+    )
+    got = {}
+    for j in range(len(pair)):
+        got.setdefault(int(pair[j]), []).append(
+            (int(seq[j]), out[p_off[j]: p_off[j + 1]])
+        )
+    n_scalar_pieces = 0
+    for i, (poly, rect) in enumerate(zip(polylines, rects)):
+        expect = clip_polyline_to_rect(poly, *rect)
+        n_scalar_pieces += len(expect)
+        have = got.get(i, [])
+        assert len(have) == len(expect), f"pair {i}: piece count"
+        for (s, piece), exp in zip(have, expect):
+            assert np.array_equal(piece, exp), f"pair {i} piece {s}"
+        assert [s for s, _ in have] == list(range(len(expect)))
+    assert n_scalar_pieces > 100  # the case mix actually exercised clipping

@@ -689,6 +689,127 @@ def clip_polyline_to_rect(
     return out
 
 
+def clip_polylines_to_rects_batch(
+    flat: np.ndarray, offsets: np.ndarray, rects: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched ``clip_polyline_to_rect``: clip P polylines against P
+    rectangles in ONE numpy pass over the concatenated coordinate buffer
+    (the flat-coords + offsets layout the engine's other kernels use).
+
+    Inputs: ``flat`` (N, 2) float64 vertices of all polylines
+    back-to-back; ``offsets`` (P+1,) int64 with polyline i occupying rows
+    ``offsets[i]:offsets[i+1]``; ``rects`` (P, 4) float64
+    ``(x0, y0, x1, y1)`` per polyline.
+
+    Returns ``(piece_pair, piece_seq, piece_offsets, out_flat)``: kept
+    pieces in (pair, sequence) order, piece j's coordinates at
+    ``out_flat[piece_offsets[j]:piece_offsets[j+1]]``, ``piece_pair[j]``
+    its input polyline index and ``piece_seq[j]`` its 0-based rank within
+    that polyline.
+
+    Bit-identical to the scalar kernel by construction: the same
+    per-axis ``(lo - pv) / dv`` window arithmetic (parallel axes replaced
+    by non-constraining ±inf *before* the max/min fold, so the fold sees
+    exactly the values the scalar loop's running clamp sees), the same
+    ``p + t*d`` crossing interpolation, interior vertices carried through
+    untouched, consecutive-duplicate collapse and the <2-point piece
+    drop. Verified piece-for-piece against the scalar kernel by
+    tests/test_spatial.py and the tile_clip oracle.
+    """
+    flat = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    n_pairs = len(offsets) - 1
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.zeros(1, np.int64),
+        np.empty((0, 2), np.float64),
+    )
+    if n_pairs == 0 or len(flat) == 0:
+        return empty
+    n_verts = np.diff(offsets)
+    n_segs = np.maximum(n_verts - 1, 0)
+    if int(n_segs.sum()) == 0:
+        return empty
+    # global start index of every valid segment (skip pair-boundary gaps)
+    pair_of_seg = np.repeat(np.arange(n_pairs, dtype=np.int64), n_segs)
+    si = np.arange(len(pair_of_seg), dtype=np.int64) + np.repeat(
+        offsets[:-1] - np.concatenate(([0], np.cumsum(n_segs)))[:-1], n_segs
+    )
+    p = flat[si]
+    q = flat[si + 1]
+    d = q - p
+    r = rects[pair_of_seg]
+    t0 = np.zeros(len(si))
+    t1 = np.ones(len(si))
+    ok = np.ones(len(si), dtype=bool)
+    ninf = np.float64(-np.inf)
+    pinf = np.float64(np.inf)
+    for axis, (lo_c, hi_c) in enumerate(((0, 2), (1, 3))):
+        dv = d[:, axis]
+        pv = p[:, axis]
+        lo = r[:, lo_c]
+        hi = r[:, hi_c]
+        z = dv == 0.0
+        ok &= ~(z & ((pv < lo) | (pv > hi)))
+        with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+            ta = np.where(z, ninf, (lo - pv) / dv)
+            tb = np.where(z, pinf, (hi - pv) / dv)
+        sw = ta > tb
+        ta, tb = np.where(sw, tb, ta), np.where(sw, ta, tb)
+        t0 = np.maximum(t0, ta)
+        t1 = np.minimum(t1, tb)
+    ok &= t0 <= t1
+    with np.errstate(over="ignore", invalid="ignore"):
+        a = np.where((t0 <= 0.0)[:, None], p, p + t0[:, None] * d)
+        b = np.where((t1 >= 1.0)[:, None], q, p + t1[:, None] * d)
+    # piece runs: a surviving segment continues its predecessor's piece
+    # iff the predecessor (same pair, immediately preceding) survived,
+    # exited uncut (t1 >= 1) and this segment enters uncut (t0 <= 0)
+    prev_ok = np.concatenate(([False], ok[:-1]))
+    prev_open = np.concatenate(([False], t1[:-1] >= 1.0))
+    same_pair = np.concatenate(
+        ([False], pair_of_seg[1:] == pair_of_seg[:-1])
+    )
+    cont = ok & prev_ok & prev_open & same_pair & (t0 <= 0.0)
+    start = ok & ~cont
+    if not start.any():
+        return empty
+    # output layout: start segments emit (a, b), continuations emit b
+    n_out = np.where(ok, np.where(start, 2, 1), 0).astype(np.int64)
+    pos = np.concatenate(([0], np.cumsum(n_out)))
+    total = int(pos[-1])
+    out = np.empty((total, 2), dtype=np.float64)
+    s_idx = np.flatnonzero(start)
+    c_idx = np.flatnonzero(cont)
+    out[pos[s_idx]] = a[s_idx]
+    out[pos[s_idx] + 1] = b[s_idx]
+    out[pos[c_idx]] = b[c_idx]
+    piece_first = pos[s_idx]  # first output row of each raw piece
+    raw_counts = np.diff(np.concatenate((piece_first, [total])))
+    # consecutive-duplicate collapse (piece-local: boundaries forced kept)
+    keep = np.empty(total, dtype=bool)
+    keep[0] = True
+    keep[1:] = (out[1:] != out[:-1]).any(axis=1)
+    keep[piece_first] = True
+    kept_counts = np.add.reduceat(keep, piece_first)
+    piece_kept = kept_counts >= 2
+    piece_of_point = np.repeat(np.arange(len(s_idx)), raw_counts)
+    final_mask = keep & piece_kept[piece_of_point]
+    out_flat = out[final_mask]
+    final_counts = kept_counts[piece_kept]
+    piece_offsets = np.concatenate(
+        ([0], np.cumsum(final_counts))
+    ).astype(np.int64)
+    piece_pair = pair_of_seg[s_idx][piece_kept]
+    # 0-based piece rank within each pair (pairs are contiguous)
+    new_pair = np.concatenate(([True], piece_pair[1:] != piece_pair[:-1]))
+    idx = np.arange(len(piece_pair), dtype=np.int64)
+    piece_seq = idx - np.maximum.accumulate(np.where(new_pair, idx, 0))
+    return piece_pair, piece_seq, piece_offsets, out_flat
+
+
 def bbox_of(coords: np.ndarray) -> Tuple[float, float, float, float]:
     c = np.asarray(coords, dtype=np.float64)
     return (

@@ -81,7 +81,11 @@ def clip_arcs_to_tiles(arcs: DataFrame, bbox: Tuple, zoom: int) -> DataFrame:
     Plan shape: the conservative tile assignment self-joins back to the
     arc store on arc_id (coords shuffle once, to the (arc, tile) pairs
     that actually touch), then an Arrow-batched mapInPandas runs the
-    Liang-Barsky kernel per pair. Interior vertices pass through
+    BATCHED Liang-Barsky kernel — each Arrow batch's pairs are
+    concatenated into one flat coordinate buffer + offsets array and
+    clipped in a single numpy pass (kernels.clip_polylines_to_rects_batch;
+    no per-pair Python loop — r3's itertuples version became the stage
+    bottleneck at high tile fan-out). Interior vertices pass through
     bit-identically and both neighbors of a shared crossing compute the
     identical interpolated point, so cross-tile stitching needs no
     tolerance. At 100 TB the output is written partitioned by tile_id
@@ -100,20 +104,44 @@ def clip_arcs_to_tiles(arcs: DataFrame, bbox: Tuple, zoom: int) -> DataFrame:
 
     def clip(it):
         for pdf in it:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                rx0 = bbox[0] + r.tile_x * cw
-                ry0 = bbox[1] + r.tile_y * ch
-                arr = np.asarray(r.coords, dtype=np.float64).reshape(-1, 2)
-                pieces = K.clip_polyline_to_rect(
-                    arr, rx0, ry0, rx0 + cw, ry0 + ch
-                )
-                for s, piece in enumerate(pieces):
-                    rows.append(
-                        (r.arc_id, r.tile_x, r.tile_y, r.tile_id, s,
-                         piece.ravel().tolist())
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+            if len(pdf) == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            coords = [
+                np.asarray(c, dtype=np.float64) for c in pdf["coords"]
+            ]
+            lens = np.fromiter(
+                (len(c) // 2 for c in coords), dtype=np.int64,
+                count=len(coords),
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            flat = (
+                np.concatenate(coords).reshape(-1, 2)
+                if offsets[-1] else np.empty((0, 2))
+            )
+            tx = pdf["tile_x"].to_numpy(dtype=np.float64)
+            ty = pdf["tile_y"].to_numpy(dtype=np.float64)
+            rx0 = bbox[0] + tx * cw
+            ry0 = bbox[1] + ty * ch
+            rects = np.stack([rx0, ry0, rx0 + cw, ry0 + ch], axis=1)
+            pair, seq, p_off, out = K.clip_polylines_to_rects_batch(
+                flat, offsets, rects
+            )
+            out_flat = out.ravel()
+            pieces = [
+                out_flat[2 * p_off[j]: 2 * p_off[j + 1]]
+                for j in range(len(pair))
+            ]
+            yield pd.DataFrame(
+                {
+                    "arc_id": pdf["arc_id"].to_numpy()[pair],
+                    "tile_x": pdf["tile_x"].to_numpy()[pair],
+                    "tile_y": pdf["tile_y"].to_numpy()[pair],
+                    "tile_id": pdf["tile_id"].to_numpy()[pair],
+                    "piece_seq": seq.astype(np.int32),
+                    "coords": pieces,
+                }
+            )
 
     return asg.mapInPandas(
         clip,
