@@ -536,30 +536,72 @@ def q_knn(spark, sf_dir):
     return out.select("qid", "point_id", "rank")
 
 
+MOSAIC_ARCS = "/tmp/spark_graft_oracle/mosaic_arcs.parquet"
+MOSAIC_LINKS = "/tmp/spark_graft_oracle/mosaic_links.parquet"
+
+
 def q_topology_mosaic(spark, sf_dir):
-    """Full pipeline over the deterministic synthetic corpus (rows-only:
-    geometry semantics checked by tests/test_pipeline.py instead)."""
+    """Full pipeline over the deterministic synthetic corpus, with a
+    NON-CIRCULAR invariant oracle (upgraded from rows-only in r4):
+
+    The per-arc ``is_shared`` flag (a dedup-stage output) and the
+    per-ring signed-arc references (a hashmap-stage output) are written
+    to side parquets; the DuckDB oracle RECOMPUTES is_shared from the
+    reference counts of the signed-arc surface (decode ``s < 0 -> -s-1``,
+    count occurrences, shared := refcount >= 2) — two independently
+    computed engine surfaces cross-checked — and gates n_points on
+    structural invariants (every arc referenced, every reference in
+    range, >= 2 points per arc, even flat length, all coordinates
+    integral lattice points inside the 8x8 grid). Any violation emits a
+    poisoned value and fails the hash. Exact stitched-geometry semantics
+    stay pinned by tests/test_pipeline.py and test_fixture_parity.py."""
     from topojson_spark.sources.corpus import generate_documents
     from topojson_spark.topology import Topology
 
     docs = generate_documents(spark, n_docs=80, grid_w=8, grid_h=8)
     topo = Topology(docs, prequantize=False)
-    return topo.arcs.select(
+    arcs = topo.arcs.select("final_idx", "is_shared", "coords")
+    arcs.write.mode("overwrite").parquet(MOSAIC_ARCS)
+    topo.resolved.select(
+        "fkey", "unit_seq", "ring_seq",
+        F.explode("signed_arcs").alias("s"),
+    ).write.mode("overwrite").parquet(MOSAIC_LINKS)
+    return arcs.select(
         "final_idx", "is_shared",
         (F.size("coords") / 2).cast("int").alias("n_points"),
     )
 
 
+SIMP_ORIG = "/tmp/spark_graft_oracle/simplify_orig.parquet"
+SIMP_OUT = "/tmp/spark_graft_oracle/simplify_out.parquet"
+
+
 def q_toposimplify(spark, sf_dir):
-    """Post-op chain parity: pipeline -> toposimplify -> arc sizes
-    (rows-only: geometry op; semantics pinned by tests/test_postops.py)."""
+    """Post-op chain: pipeline -> toposimplify -> arc sizes, with a
+    NON-CIRCULAR invariant oracle (upgraded from rows-only in r4):
+
+    Original and simplified arc stores are written to side parquets; the
+    DuckDB oracle checks the Douglas-Peucker contract without
+    reimplementing DP — per arc: vertex count <= original, both
+    endpoints preserved bit-for-bit, every retained vertex a member of
+    the original vertex sequence, and the arc SET preserved one-to-one
+    (full outer join; an arc present on only one side or any violated
+    invariant emits a poisoned n_points and fails the hash/row gate).
+    Exact retained-vertex values are pinned by tests/test_postops.py."""
     from topojson_spark.sources.corpus import generate_documents
     from topojson_spark.topology import Topology
 
     docs = generate_documents(spark, n_docs=80, grid_w=8, grid_h=8,
                               verts_per_edge=4)
-    topo = Topology(docs, prequantize=False).toposimplify(0.3)
-    return topo.arcs.select(
+    topo = Topology(docs, prequantize=False)
+    topo.arcs.select("final_idx", "coords").write.mode(
+        "overwrite"
+    ).parquet(SIMP_ORIG)
+    simp = topo.toposimplify(0.3)
+    simp.arcs.select("final_idx", "coords").write.mode(
+        "overwrite"
+    ).parquet(SIMP_OUT)
+    return simp.arcs.select(
         "final_idx", (F.size("coords") / 2).cast("int").alias("n_points")
     )
 
@@ -1342,7 +1384,72 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS media_ref,
                    cast(k * 8 as int) AS "offset"
             FROM chunks""",
-        # topology_mosaic / toposimplify_arcs: rows-only (full-pipeline /
-        # simplification geometry; semantics pinned by tests/test_pipeline.py
-        # and tests/test_postops.py — not SQL-expressible non-circularly)
+        # topology_mosaic / toposimplify_arcs (r4): INVARIANT oracles.
+        # The VALUES (arc coords) come from engine side-parquets — DuckDB
+        # does not re-run the pipeline — but every emitted row is gated on
+        # structural invariants DuckDB verifies independently, and
+        # is_shared is RECOMPUTED from the hashmap reference surface
+        # rather than read back. A violated invariant poisons the value
+        # (-1 / flipped flag) and fails the hash gate.
+        "topology_mosaic": f"""
+            WITH arcs AS (
+              SELECT final_idx, is_shared, coords
+              FROM read_parquet('{MOSAIC_ARCS}/*.parquet')
+            ),
+            refs AS (
+              SELECT CASE WHEN s >= 0 THEN s ELSE -s - 1 END AS a,
+                     count(*) AS c
+              FROM read_parquet('{MOSAIC_LINKS}/*.parquet')
+              GROUP BY 1
+            ),
+            out_of_range AS (
+              SELECT count(*) AS nb
+              FROM refs r LEFT JOIN arcs a ON a.final_idx = r.a
+              WHERE a.final_idx IS NULL
+            )
+            SELECT a.final_idx,
+                   coalesce(r.c, 0) >= 2 AS is_shared,
+                   CASE WHEN coalesce(r.c, 0) >= 1
+                             AND len(a.coords) >= 4
+                             AND len(a.coords) % 2 = 0
+                             AND len(list_filter(a.coords,
+                                   v -> v <> floor(v) OR v < 0 OR v > 8
+                                 )) = 0
+                             AND (SELECT nb FROM out_of_range) = 0
+                        THEN len(a.coords) // 2 ELSE -1 END AS n_points
+            FROM arcs a LEFT JOIN refs r ON r.a = a.final_idx""",
+        "toposimplify_arcs": f"""
+            WITH o AS (
+              SELECT final_idx,
+                     coords,
+                     list_transform(
+                       range(len(coords) // 2),
+                       k -> coords[2*k + 1] || ',' || coords[2*k + 2]
+                     ) AS verts
+              FROM read_parquet('{SIMP_ORIG}/*.parquet')
+            ),
+            s AS (
+              SELECT final_idx,
+                     coords,
+                     list_transform(
+                       range(len(coords) // 2),
+                       k -> coords[2*k + 1] || ',' || coords[2*k + 2]
+                     ) AS verts
+              FROM read_parquet('{SIMP_OUT}/*.parquet')
+            )
+            SELECT coalesce(s.final_idx, o.final_idx) AS final_idx,
+                   CASE WHEN s.final_idx IS NOT NULL
+                             AND o.final_idx IS NOT NULL
+                             AND len(s.coords) >= 4
+                             AND len(s.coords) % 2 = 0
+                             AND len(s.coords) <= len(o.coords)
+                             AND s.coords[1] = o.coords[1]
+                             AND s.coords[2] = o.coords[2]
+                             AND s.coords[len(s.coords) - 1]
+                                   = o.coords[len(o.coords) - 1]
+                             AND s.coords[len(s.coords)]
+                                   = o.coords[len(o.coords)]
+                             AND list_has_all(o.verts, s.verts)
+                        THEN len(s.coords) // 2 ELSE -1 END AS n_points
+            FROM s FULL OUTER JOIN o ON s.final_idx = o.final_idx""",
     }
