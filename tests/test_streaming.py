@@ -283,3 +283,219 @@ def test_stream_sessionize_gap_sessions(spark, tmp_path):
     assert got[(2, 5)]["n_events"] == 1
     assert got[(2, 5)]["sum_value"] == 7.0
     assert mins(got[(2, 5)]["session_end"]) == 35
+
+
+# -------------------------------------------- kill-and-resume (north rule)
+#
+# The north rule demands resumability. Batch stages have durable
+# checkpoints (plans/pin.py); these tests cover the STATEFUL streaming
+# operators: a query is started with a checkpointLocation, KILLED
+# (q.stop() interrupts, possibly mid-batch — the in-flight batch is
+# uncommitted and must replay), then restarted on the SAME checkpoint and
+# drained. Exactly-once means: no row lost, no row duplicated, state
+# (dedup ordinals / window aggregates / session merges) identical to a
+# single uninterrupted run.
+
+
+def _kill_then_resume(spark, build, schema, src, out, ckpt):
+    """Start `build(stream)` -> parquet sink, kill after the first
+    data-carrying progress event (mid-stream when timing allows — the
+    assertions never depend on WHERE the kill lands), resume from the
+    same checkpoint with availableNow and drain to completion."""
+    import time
+
+    def start(trigger_kwargs):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            build(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.1)
+    q.stop()  # the kill: interrupts the run loop, in-flight batch dies
+    q.awaitTermination(90)
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+def test_stream_dedup_ledger_kill_and_resume(spark, tmp_path):
+    """Stateful exact-dedup ledger survives a kill: after resume, exactly
+    one ledger row per input doc, one is_first per hash, and the per-hash
+    ordinals are a gap-free 0..n-1 — a replayed batch that double-counted
+    state would break the ordinal sequence, a lost batch the row count."""
+    from topojson_spark.streaming.ingest import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id string, text string"
+
+    # 12 docs in 6 ordered files; 4 distinct texts x 3 repeats each
+    for f in range(6):
+        rows = [(f"d{f}_{i}", f"text {(f * 2 + i) % 4}") for i in range(2)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    got = _kill_then_resume(
+        spark, stream_exact_dedup, schema, src, out, ckpt
+    ).collect()
+
+    assert len(got) == 12
+    assert len({r["doc_id"] for r in got}) == 12
+    by_hash = {}
+    for r in got:
+        by_hash.setdefault(r["text_hash"], []).append(r)
+    assert len(by_hash) == 4
+    for rows in by_hash.values():
+        assert sorted(r["n_seen_before"] for r in rows) == [0, 1, 2]
+        firsts = [r for r in rows if r["is_first"]]
+        assert len(firsts) == 1 and firsts[0]["n_seen_before"] == 0
+        assert {r["first_doc_id"] for r in rows} == {firsts[0]["doc_id"]}
+
+
+def test_stream_sessionize_kill_and_resume(spark, tmp_path):
+    """session_window state survives a kill: the resumed stream's emitted
+    sessions are exactly-once (no duplicates) and identical to the SAME
+    operator run as one uninterrupted batch job (session_window works on
+    batch frames — the perfect twin for resume semantics)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from topojson_spark.streaming.ingest import stream_sessionize
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [(t0 + dt.timedelta(minutes=m), int(u), float(v))
+                for m, u, v in specs]
+
+    batches = [
+        rows((0, 1, 1.0), (10, 1, 2.0), (5, 2, 7.0)),
+        rows((20, 1, 3.0), (32, 2, 1.0)),   # u1 merges; u2 merges (27 < 30)
+        rows((60, 3, 5.0)),
+        rows((90, 1, 9.0)),                 # u1 second session
+        rows((600, 9, 0.0)),                # watermark drivers
+        rows((601, 9, 0.0)),
+        rows((602, 9, 0.0)),
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    build = lambda s: stream_sessionize(  # noqa: E731
+        s, gap="30 minutes", watermark="60 minutes"
+    )
+    got = _kill_then_resume(spark, build, schema, src, out, ckpt).collect()
+
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start"], r["session_end"],
+        r["n_events"], r["sum_value"],
+    )
+    keys = [key(r) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate session emission"
+
+    all_events = [r for b in batches for r in b]
+    twin = {
+        key(r)
+        for r in spark.createDataFrame(all_events, schema)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "sum_value")
+        .collect()
+    }
+    assert set(keys) <= twin, "resumed stream emitted a corrupted session"
+    # every real user's closed sessions must have been emitted: u1 [0,50)
+    # merged across the kill point + [90,120) single, u2 one merged
+    # two-event session (5 -> 32, gap 27 < 30), u3 one single
+    emitted_users = sorted(
+        (k[0], k[3]) for k in keys if k[0] in (1, 2, 3)
+    )
+    assert emitted_users == [(1, 1), (1, 3), (2, 2), (3, 1)]
+
+
+def test_stream_event_windows_kill_and_resume(spark, tmp_path):
+    """Watermarked tumbling-window aggregation survives a kill: resumed
+    output has no duplicate windows and equals the uninterrupted batch
+    twin for every closed window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from topojson_spark.streaming.ingest import stream_windowed_event_counts
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [(t0 + dt.timedelta(minutes=m), et, float(v))
+                for m, et, v in specs]
+
+    batches = [
+        rows((1, "a", 1.0), (2, "a", 2.0)),
+        rows((11, "b", 3.0), (4, "a", 4.0)),   # late-but-in-bound add
+        rows((25, "b", 1.0)),
+        rows((600, "z", 0.0)),                 # watermark drivers
+        rows((601, "z", 0.0)),
+        rows((602, "z", 0.0)),
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    build = lambda s: stream_windowed_event_counts(  # noqa: E731
+        s, window="10 minutes", watermark="20 minutes"
+    )
+    got = _kill_then_resume(spark, build, schema, src, out, ckpt).collect()
+
+    key = lambda r: (  # noqa: E731
+        r["window_start"], r["event_type"], r["n"], r["sum_value"]
+    )
+    keys = [key(r) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate window emission"
+
+    all_events = [r for b in batches for r in b]
+    twin = {
+        key(r)
+        for r in spark.createDataFrame(all_events, schema)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type",
+                "n", "sum_value")
+        .collect()
+    }
+    assert set(keys) <= twin
+    # the three real closed windows arrived intact across the kill
+    closed = {(k[0].minute, k[1]): (k[2], k[3]) for k in keys
+              if k[1] in ("a", "b")}
+    assert closed == {(0, "a"): (3, 7.0), (10, "b"): (1, 3.0),
+                      (20, "b"): (1, 1.0)}

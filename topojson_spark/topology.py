@@ -83,6 +83,7 @@ class Topology:
                 raise ValueError("driver-side input requires a SparkSession")
             self.spark = spark
             self._init_from_topojson(data)
+            self._apply_option_postops()
             return
         if isinstance(data, DataFrame):
             self.spark = data.sparkSession
@@ -113,6 +114,24 @@ class Topology:
             features_in = features_from_mapping(spark, data, self.options)
 
         self._run(features_in)
+        self._apply_option_postops()
+
+    def _apply_option_postops(self) -> None:
+        """Construction-time post-ops from options (reference ``_topo``,
+        topology.py:597-629): ``toposimplify`` then ``topoquantize`` when
+        set as constructor kwargs — same order and same
+        double-application semantics as the reference (toposimplify's own
+        requantize already uses the topoquantize factor when present, and
+        ``_topo`` then runs topoquantize again)."""
+        new = self
+        tf = self.options.toposimplify_factor
+        if tf:
+            new = new.toposimplify(tf)
+        qf = self.options.topoquant_factor
+        if qf:
+            new = new.topoquantize(qf)
+        if new is not self:
+            self.__dict__.update(new.__dict__)
 
     # ------------------------------------------------------------ re-ingest
 
@@ -316,10 +335,16 @@ class Topology:
             }
         return node
 
-    def to_dict(self) -> dict:
+    def to_dict(self, options: bool = False) -> dict:
         """Assemble the reference-shaped topology dict (driver-side; the
         output topology is small relative to the input corpus — at full
-        scale use write_tables instead)."""
+        scale use write_tables instead).
+
+        ``options=True`` includes the 12-field reference option surface
+        under ``"options"`` (reference topology.py:151-167 serializes
+        ``vars(self.options)``); engine-level scale knobs are
+        deliberately excluded — they are not part of the reference
+        contract."""
         if getattr(self, "_preresolved_objects", None) is not None:
             out = {
                 "type": "Topology",
@@ -329,6 +354,8 @@ class Topology:
             }
             if self.transform is not None:
                 out["transform"] = copy.deepcopy(self.transform)
+            if options:
+                out["options"] = self._options_dict()
             return out
         resolved = self._collect_resolved()
         points = self._collect_points()
@@ -371,10 +398,30 @@ class Topology:
         }
         if self.transform is not None:
             out["transform"] = copy.deepcopy(self.transform)
+        if options:
+            out["options"] = self._options_dict()
         return out
 
-    def to_json(self, fp: Optional[str] = None, pretty: bool = False) -> str:
-        topo = self.to_dict()
+    def _options_dict(self) -> dict:
+        """The 12 reference-parity option fields, reference kwarg order."""
+        o = self.options
+        return {
+            k: getattr(o, k)
+            for k in (
+                "topology", "prequantize", "topoquantize", "presimplify",
+                "toposimplify", "shared_coords", "prevent_oversimplify",
+                "simplify_with", "simplify_algorithm", "winding_order",
+                "object_name", "ignore_index",
+            )
+        }
+
+    def to_json(
+        self,
+        fp: Optional[str] = None,
+        pretty: bool = False,
+        options: bool = False,
+    ) -> str:
+        topo = self.to_dict(options=options)
         txt = json.dumps(topo, indent=2 if pretty else None,
                          separators=None if pretty else (",", ":"))
         if fp:
