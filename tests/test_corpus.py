@@ -243,3 +243,69 @@ def test_table_seam_path_and_identifier(spark, tmp_path):
 
     df.createOrReplaceTempView("tmp_docs_seam")
     assert read_table(spark, "tmp_docs_seam").count() == 5
+
+
+def test_table_seam_catalog_roundtrip(spark, tmp_path):
+    """The one seam production flips to Iceberg, exercised against the
+    session catalog's real contract: write_table(identifier) routes
+    through saveAsTable, read_table(identifier) returns the identical
+    frame, and partition_by is honored in the table's physical layout
+    (partition directories) AND its catalog metadata."""
+    import os
+
+    from topojson_spark.sources.tables import read_table, write_table
+
+    df = spark.range(20).selectExpr(
+        "id AS doc_id", "id % 4 AS part", "concat('t', id) AS text"
+    )
+    name = "seam_roundtrip_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_table(df, name, partition_by=["part"])
+
+    back = read_table(spark, name)
+    assert sorted(map(tuple, back.select("doc_id", "part", "text").collect())) \
+        == sorted(map(tuple, df.collect()))
+
+    # partitioning honored: catalog metadata lists `part` as a partition
+    # column and the managed location has part=N directories
+    cols = {
+        (c.name, c.isPartition) for c in spark.catalog.listColumns(name)
+    }
+    assert ("part", True) in cols
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .where("col_name = 'Location'").collect()[0]["data_type"]
+    )
+    path = loc.replace("file:", "")
+    assert {f"part={i}" for i in range(4)} <= set(os.listdir(path))
+
+    # overwrite mode replaces, append accumulates — through the seam
+    write_table(df.where("part = 0"), name, mode="overwrite",
+                partition_by=["part"])
+    assert read_table(spark, name).count() == 5
+    write_table(df.where("part = 1"), name, mode="append",
+                partition_by=["part"])
+    assert read_table(spark, name).count() == 10
+    spark.sql(f"DROP TABLE {name}")
+
+
+def test_table_seam_rejects_ambiguous_strings(spark, tmp_path):
+    """A string that is neither a recognizable path nor a valid dotted
+    identifier (a bare relative path like 'data/tbl') must fail fast with
+    guidance, not fall through to a catalog parse error or resolve
+    against an unintended namespace."""
+    import pytest
+
+    from topojson_spark.sources.tables import read_table, write_table
+
+    df = spark.range(3).selectExpr("id AS doc_id")
+    for bad in ("data/tbl", "my table", "db.ta-ble", ""):
+        with pytest.raises(ValueError, match="ambiguous table source"):
+            write_table(df, bad)
+        with pytest.raises(ValueError, match="ambiguous table source"):
+            read_table(spark, bad)
+    # backtick-quoted identifiers with exotic characters stay legal
+    from topojson_spark.sources.tables import _IDENT_RE
+
+    assert _IDENT_RE.match("lake.corpus.documents")
+    assert _IDENT_RE.match("`my db`.`ta-ble`")

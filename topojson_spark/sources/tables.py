@@ -19,9 +19,14 @@ atomic-checkpoint property that the parquet fallback approximates with
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+# dotted identifier: catalog.db.table, each part a plain word or a
+# backtick-quoted segment
+_IDENT_RE = re.compile(r"^(`[^`]+`|\w+)(\.(`[^`]+`|\w+))*$")
 
 
 def is_path(source: str) -> bool:
@@ -30,13 +35,28 @@ def is_path(source: str) -> bool:
     return "://" in source or source.startswith(("/", "./", "../", "file:"))
 
 
+def _require_identifier(source: str) -> str:
+    """Fail fast on strings that are neither a recognizable path nor a
+    valid dotted identifier (e.g. a bare relative path like
+    ``data/tbl``): silently handing them to the catalog would produce a
+    confusing parse error — or worse, resolve against an unintended
+    namespace. Callers who mean a relative path must write ``./data/tbl``."""
+    if not _IDENT_RE.match(source):
+        raise ValueError(
+            f"ambiguous table source {source!r}: not a path (no scheme, "
+            "not /, ./, ../ or file: prefixed) and not a valid dotted "
+            "catalog identifier — prefix relative paths with './'"
+        )
+    return source
+
+
 def read_table(spark: SparkSession, source: str) -> DataFrame:
     """Read a corpus/operator table from a path (parquet) or a catalog
     table identifier (Iceberg/managed/temp view — whatever the session's
     catalog resolves)."""
     if is_path(source):
         return spark.read.parquet(source)
-    return spark.read.table(source)
+    return spark.read.table(_require_identifier(source))
 
 
 def write_table(
@@ -59,4 +79,4 @@ def write_table(
     if is_path(target):
         w.parquet(target)
     else:
-        w.saveAsTable(target)
+        w.saveAsTable(_require_identifier(target))
