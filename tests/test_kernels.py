@@ -214,3 +214,61 @@ def test_points_in_ring():
 def test_points_in_ring_cw():
     ring = np.array([[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]], dtype=float)
     assert K.points_in_ring(np.array([[2.0, 2.0]]), ring).tolist() == [True]
+
+
+# ------------------------------------------------- shared_chain_endpoints
+
+
+def _endpoint_set(segs):
+    return set(map(tuple, K.shared_chain_endpoints(np.asarray(segs, float))))
+
+
+def _exact_set(segs):
+    return set(map(tuple, K._chain_endpoints_exact(np.asarray(segs, float))))
+
+
+def test_chain_endpoints_open_chain():
+    segs = [[0, 0, 1, 0], [1, 0, 2, 0], [2, 0, 3, 1]]
+    assert _endpoint_set(segs) == {(0.0, 0.0), (3.0, 1.0)}
+
+
+def test_chain_endpoints_closed_ring_falls_back():
+    # triangle: all degrees 2 -> cycle; merge_lines emits its start vertex
+    segs = [[0, 0, 1, 0], [1, 0, 0, 1], [0, 1, 0, 0]]
+    assert _endpoint_set(segs) == _exact_set(segs)
+    assert len(_endpoint_set(segs)) == 1  # closed loop: start == end
+
+
+def test_chain_endpoints_branch_falls_back():
+    # degree-3 vertex at origin
+    segs = [[0, 0, 1, 0], [0, 0, 0, 1], [0, 0, -1, 0]]
+    assert _endpoint_set(segs) == _exact_set(segs)
+
+
+def test_chain_endpoints_path_plus_separate_cycle():
+    # open chain + disjoint square ring: the cycle component must still be
+    # detected (union-find), not masked by the chain's degree-1 vertices
+    segs = [
+        [0, 0, 1, 0],
+        [5, 5, 6, 5], [6, 5, 6, 6], [6, 6, 5, 6], [5, 6, 5, 5],
+    ]
+    assert _endpoint_set(segs) == _exact_set(segs)
+    assert {(0.0, 0.0), (1.0, 0.0)} <= _endpoint_set(segs)
+
+
+def test_chain_endpoints_fuzz_equivalence():
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        nv = rng.integers(2, 8)
+        verts = rng.integers(0, 5, size=(nv, 2)).astype(float) * 0.5
+        pairs = [
+            (i, j)
+            for i, j in rng.integers(0, nv, size=(rng.integers(1, 10), 2))
+            if i != j
+        ]
+        if not pairs:
+            continue
+        segs = K._dedupe_segments(
+            np.asarray([[*verts[i], *verts[j]] for i, j in pairs])
+        )
+        assert _endpoint_set(segs) == _exact_set(segs)

@@ -430,15 +430,48 @@ def line_pair_shared_segments(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if emit.any():
         whole = np.concatenate([p[emit], p[emit] + r[emit]], axis=1)
         out.extend(whole.tolist())
+    # envelope prefilter for the O(n*m) residue sweeps: an overlap piece
+    # lies on BOTH segments, so a residue segment of one line can only
+    # contribute if its bbox meets the other line's envelope (and vice
+    # versa). For vertex-aligned corpora (shared boundaries key-matched
+    # above) this collapses the sweep to the thin band near the shared
+    # region — the dominant cost of the whole junction stage otherwise.
+    a_lo, a_hi = a.min(axis=0), a.max(axis=0)
+    b_lo, b_hi = b.min(axis=0), b.max(axis=0)
     if not match_a.all():
         na = ~match_a
-        out.extend(_overlap_quadratic(p[na], r[na], q, s))
+        pa, ra = p[na], r[na]
+        sel = _seg_env_mask(pa, ra, b_lo, b_hi)
+        if sel.any():
+            pa, ra = pa[sel], ra[sel]
+            qs = _seg_env_mask(q, s, np.minimum(pa, pa + ra).min(axis=0),
+                               np.maximum(pa, pa + ra).max(axis=0))
+            if qs.any():
+                out.extend(_overlap_quadratic(pa, ra, q[qs], s[qs]))
     if not match_b.all():
         nb = ~match_b
-        out.extend(_overlap_quadratic(q[nb], s[nb], p, r))
+        qb, sb = q[nb], s[nb]
+        sel = _seg_env_mask(qb, sb, a_lo, a_hi)
+        if sel.any():
+            qb, sb = qb[sel], sb[sel]
+            ps = _seg_env_mask(p, r, np.minimum(qb, qb + sb).min(axis=0),
+                               np.maximum(qb, qb + sb).max(axis=0))
+            if ps.any():
+                out.extend(_overlap_quadratic(qb, sb, p[ps], r[ps]))
     if not out:
         return np.empty((0, 4))
     return _dedupe_segments(np.asarray(out))
+
+
+def _seg_env_mask(p: np.ndarray, r: np.ndarray,
+                  lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Per-segment bbox-intersects-envelope mask for segments (p, p + r)."""
+    e0 = np.minimum(p, p + r)
+    e1 = np.maximum(p, p + r)
+    return (
+        (e0[:, 0] <= hi[0]) & (e1[:, 0] >= lo[0])
+        & (e0[:, 1] <= hi[1]) & (e1[:, 1] >= lo[1])
+    )
 
 
 def _dedupe_segments(segs: np.ndarray) -> np.ndarray:
@@ -446,8 +479,11 @@ def _dedupe_segments(segs: np.ndarray) -> np.ndarray:
     a = np.around(segs * VERTEX_TOL).astype(np.int64)
     lo = np.minimum(a[:, :2], a[:, 2:])
     hi = np.maximum(a[:, :2], a[:, 2:])
-    canon = np.concatenate([lo, hi], axis=1)
-    _, ix = np.unique(canon, axis=0, return_index=True)
+    canon = np.ascontiguousarray(np.concatenate([lo, hi], axis=1))
+    # byte-view unique: same row identity as unique(axis=0) at a fraction
+    # of the cost (int64 rows have no -0.0 ambiguity)
+    cv = canon.view(np.dtype((np.void, 32))).ravel()
+    _, ix = np.unique(cv, return_index=True)
     return segs[np.sort(ix)]
 
 
@@ -459,6 +495,69 @@ def merge_segments_to_chains(segs: np.ndarray) -> List[np.ndarray]:
         return []
     pieces = [np.array([[s[0], s[1]], [s[2], s[3]]]) for s in segs]
     return merge_lines(pieces)
+
+
+def shared_chain_endpoints(segs: np.ndarray) -> np.ndarray:
+    """Endpoint SET of the merged chains of ``segs`` — the junction finder's
+    actual need (join.py dedups on exact (jx, jy) downstream, so endpoint
+    multiplicity is irrelevant).
+
+    Fast path: when the quantized segment graph is a pure path forest
+    (every vertex degree <= 2, no self-loops, and every connected component
+    holds a degree-1 vertex — i.e. no cycles, checked by a small union-find
+    over the pair's segments), the chain endpoints are exactly the
+    degree-1 vertices: one vectorized unique instead of the Python
+    merge_lines walk. Any other structure (branches, closed rings) falls
+    back to merge_segments_to_chains, whose semantics this must match —
+    tests pin the equivalence on branched/cyclic/degenerate graphs."""
+    if len(segs) == 0:
+        return np.empty((0, 2))
+    n = len(segs)
+    k = np.around(segs * VERTEX_TOL).astype(np.int64)  # (n, 4)
+    if ((k[:, 0] == k[:, 2]) & (k[:, 1] == k[:, 3])).any():  # self-loop
+        return _chain_endpoints_exact(segs)
+    ends = np.concatenate([segs[:, :2], segs[:, 2:]])  # (2n, 2) floats
+    kv = (
+        np.ascontiguousarray(np.concatenate([k[:, :2], k[:, 2:]]))
+        .view(np.dtype((np.void, 16)))
+        .ravel()
+    )
+    uniq, inv, counts = np.unique(kv, return_inverse=True, return_counts=True)
+    if (counts > 2).any():  # branch vertex -> merge-order semantics apply
+        return _chain_endpoints_exact(segs)
+    deg1 = counts == 1
+    # cycle detection: union-find over the segment graph; a component
+    # whose every vertex has degree 2 is a closed ring (merge_lines emits
+    # its smallest vertex, which the degree rule would miss)
+    parent = list(range(len(uniq)))
+
+    def _root(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(inv[:n].tolist(), inv[n:].tolist()):
+        rx, ry = _root(x), _root(y)
+        if rx != ry:
+            parent[rx] = ry
+    has_deg1 = np.zeros(len(uniq), dtype=bool)
+    roots = np.fromiter((_root(i) for i in range(len(uniq))), dtype=np.int64)
+    np.logical_or.at(has_deg1, roots, deg1)
+    if not has_deg1[roots].all():  # some component is a cycle
+        return _chain_endpoints_exact(segs)
+    # each degree-1 vertex occurs in exactly one segment end, so its
+    # original float coords are unambiguous
+    return ends[deg1[inv]]
+
+
+def _chain_endpoints_exact(segs: np.ndarray) -> np.ndarray:
+    chains = merge_segments_to_chains(segs)
+    if not chains:
+        return np.empty((0, 2))
+    return np.asarray(
+        [pt for c in chains for pt in (c[0], c[-1])], dtype=np.float64
+    )
 
 
 def merge_lines(lines: Sequence[np.ndarray]) -> List[np.ndarray]:

@@ -355,16 +355,24 @@ def junctions_path_connected_pairwise(
 
     def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            xs, ys = [], []
+            pts = []
             for a, b in zip(pdf["coords_a"], pdf["coords_b"]):
                 segs = K.line_pair_shared_segments(
                     K.as_np(a),
                     K.as_np(b),
                 )
-                for chain in K.merge_segments_to_chains(segs):
-                    xs.extend((chain[0][0], chain[-1][0]))
-                    ys.extend((chain[0][1], chain[-1][1]))
-            yield pd.DataFrame({"jx": xs, "jy": ys})
+                if len(segs):
+                    pts.append(K.shared_chain_endpoints(segs))
+            if pts:
+                allp = np.concatenate(pts)
+                yield pd.DataFrame({"jx": allp[:, 0], "jy": allp[:, 1]})
+            else:
+                yield pd.DataFrame(
+                    {
+                        "jx": pd.Series([], dtype="float64"),
+                        "jy": pd.Series([], dtype="float64"),
+                    }
+                )
 
     raw = pairs.mapInPandas(find, schema=out_schema)
     # exact-equality dedup (the reference keeps set() of raw float tuples,
