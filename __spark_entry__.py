@@ -33,6 +33,27 @@ _TOKS_SQL = (
     f"list_filter(string_split_regex({_NORM_SQL}, '\\s+'), t -> t <> '')"
 )
 
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# per-source integer reputation counters (exact aggregates only — no
+# floating-point means), shared by the source_stats/source_filter oracles
+_SOURCE_STATS_SQL = f"""
+            WITH t AS (
+              SELECT source,
+                     ('0x' || substring(md5(text), 1, 15))::BIGINT AS tdig,
+                     len({_TOKS_SQL}) AS ntok,
+                     len(list_filter({_TOKS_SQL},
+                         t -> list_contains([{_STOP_LIST_SQL}], t))) AS nstop
+              FROM documents
+            ),
+            src AS (
+              SELECT source, count(*) AS n_docs,
+                     count(DISTINCT tdig) AS n_distinct_texts,
+                     sum(ntok)::BIGINT AS sum_tokens,
+                     sum(nstop)::BIGINT AS sum_stop_hits
+              FROM t GROUP BY source
+            )"""
+
 # deterministic 64-d query vector for similarity search (same literal in SQL)
 QVEC = [round(((i * 37 + 11) % 64) / 64.0 - 0.5, 6) for i in range(64)]
 
@@ -63,15 +84,21 @@ from topojson_spark.functions.text import (  # noqa: E402
     MINHASH_AS,
     MINHASH_BS,
     MINHASH_P,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
     exact_dedup,
     fingerprint,
     language_id,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    pii_redact,
     quality_score,
     repetition_metrics,
     simhash,
+    source_filter,
+    source_stats,
     token_count,
 )
 
@@ -462,6 +489,39 @@ def q_repetition(spark, sf_dir):
     return repetition_metrics(docs)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (emails / phones / IPv4 -> bracketed sentinels). The
+    synthetic corpus carries no PII, so the query injects a deterministic
+    email+phone+ip tail per document (same expression in the oracle) —
+    the redaction passes then have real work to do on every row."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ip 10.0.0."),
+            ((F.col("doc_id") % 254) + 1).cast("string"),
+        ).alias("text"),
+    )
+    return pii_redact(docs)
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source integer reputation stats (doc/distinct/token/stopword
+    counts) — the tiny dimension a domain filter broadcasts."""
+    return source_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_source_filter(spark, sf_dir):
+    """C4-style source filter: drop every document whose source fails the
+    duplicate-rate or stopword-density reputation gates (integer
+    cross-multiplied predicates; 60 per-mille splits the synthetic
+    sources roughly in half, so the filter has real signal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return source_filter(docs, max_dup_pct=50, min_stop_per_mille=60)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-minute gap): one exchange on user_id
     serves the lag/cumsum windows AND the session aggregate."""
@@ -735,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_clip": q_tile_clip,
         "event_windows": q_event_windows,
         "repetition_metrics": q_repetition,
+        "pii_redact": q_pii_redact,
+        "source_stats": q_source_stats,
+        "source_filter": q_source_filter,
         "sessionize": q_sessionize,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
@@ -1270,6 +1333,43 @@ def oracle_sql() -> dict[str, str]:
               least(coalesce(t.max3, 0) * 3 / greatest(b.n_tokens, 1), 1.0)
                 AS top_trigram_frac
             FROM base b LEFT JOIN tops t USING (doc_id)""",
+        "pii_redact": f"""
+            WITH injected AS (
+              SELECT doc_id,
+                text || ' reach user' || doc_id
+                     || '@example.com or 555-123-4567 ip 10.0.0.'
+                     || ((doc_id % 254) + 1) AS text
+              FROM documents
+            ),
+            p1 AS (
+              SELECT doc_id, text,
+                regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g') AS t1
+              FROM injected
+            ),
+            p2 AS (
+              SELECT doc_id, text, t1,
+                regexp_replace(t1, '{PII_PHONE_RE}', '[PHONE]', 'g') AS t2
+              FROM p1
+            )
+            SELECT doc_id,
+              regexp_replace(t2, '{PII_IPV4_RE}', '[IP]', 'g') AS clean_text,
+              len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+              len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS n_phones,
+              len(regexp_extract_all(t2, '{PII_IPV4_RE}')) AS n_ips
+            FROM p2""",
+        "source_stats": _SOURCE_STATS_SQL
+        + """
+            SELECT source, n_docs, n_distinct_texts,
+                   sum_tokens, sum_stop_hits
+            FROM src""",
+        "source_filter": _SOURCE_STATS_SQL
+        + """,
+            keep AS (
+              SELECT source FROM src
+              WHERE (n_docs - n_distinct_texts) * 100 <= 50 * n_docs
+                AND sum_stop_hits * 1000 >= 60 * sum_tokens
+            )
+            SELECT d.* FROM documents d JOIN keep USING (source)""",
         "sessionize": """
             WITH flag AS (
               SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -189,3 +189,120 @@ def test_repetition_metrics_normalizes(spark):
     assert r["dup_word_frac"] == pytest.approx(2 / 4)
     # bigrams: spam-spam x2, spam-ham -> 2*2/4
     assert r["top_bigram_frac"] == pytest.approx(4 / 4)
+
+
+# ----------------------------------------------------------------- PII
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "mail me at john.doe+spam@sub.example.co.uk today"),
+        (2, "call 555-123-4567 or 020.555.1234 anytime"),  # both match
+        (3, "server at 192.168.0.1 and 10.0.0.255, port 80"),
+        (4, "a@b.io x@y.z 999-888-7777 1.2.3.4"),  # x@y.z: tld too short
+        (5, "nothing sensitive here at all"),
+        (6, "trailing dot user@example.com. end"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_counts_and_text(pii_docs):
+    out = {r["doc_id"]: r for r in X.pii_redact(pii_docs).collect()}
+    assert out[1]["n_emails"] == 1
+    assert out[1]["clean_text"] == "mail me at [EMAIL] today"
+    # 020.555.1234 is 3-3-4? no: 020.555.1234 -> 3-3-4 digits, matches
+    assert out[2]["n_phones"] == 2
+    assert out[2]["clean_text"] == "call [PHONE] or [PHONE] anytime"
+    assert out[3]["n_ips"] == 2
+    assert out[3]["clean_text"] == "server at [IP] and [IP], port 80"
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (
+        1, 1, 1,
+    )
+    assert out[4]["clean_text"] == "[EMAIL] x@y.z [PHONE] [IP]"
+    assert out[5]["clean_text"] == "nothing sensitive here at all"
+    assert (out[5]["n_emails"], out[5]["n_phones"], out[5]["n_ips"]) == (
+        0, 0, 0,
+    )
+    # greedy local/domain classes stop before the trailing period
+    assert out[6]["clean_text"] == "trailing dot [EMAIL]. end"
+
+
+def test_pii_redact_matches_duckdb_semantics(pii_docs):
+    """The oracle runs the LITERAL same patterns in RE2; pin the Java-regex
+    result against DuckDB on the adversarial fixture (leftmost-match and
+    greediness agreement is the whole parity claim)."""
+    import duckdb
+
+    rows = pii_docs.select("doc_id", "text").collect()
+    con = duckdb.connect()
+    con.execute("create table d (doc_id bigint, text varchar)")
+    con.executemany(
+        "insert into d values (?, ?)", [(r[0], r[1]) for r in rows]
+    )
+    ora = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '{X.PII_EMAIL_RE}', '[EMAIL]', 'g'),
+            '{X.PII_PHONE_RE}', '[PHONE]', 'g'),
+            '{X.PII_IPV4_RE}', '[IP]', 'g') AS clean_text,
+          len(regexp_extract_all(text, '{X.PII_EMAIL_RE}')) AS n_emails
+        FROM d"""
+        ).fetchall()
+    }
+    got = {r["doc_id"]: r for r in X.pii_redact(pii_docs).collect()}
+    for doc_id, (clean, n_em) in ora.items():
+        assert got[doc_id]["clean_text"] == clean, doc_id
+        assert got[doc_id]["n_emails"] == n_em, doc_id
+
+
+# ------------------------------------------------------- source reputation
+
+
+@pytest.fixture(scope="module")
+def sourced_docs(spark):
+    rows = [
+        # good source: distinct texts, normal stopword density
+        (1, "the cat sat on the mat and looked to the door", "good"),
+        (2, "a dog ran in the park and found a stick", "good"),
+        (3, "the sun is high and the day is long", "good"),
+        # spammy source: 3 copies of the same text
+        (4, "buy cheap widgets now best price widgets", "dupfarm"),
+        (5, "buy cheap widgets now best price widgets", "dupfarm"),
+        (6, "buy cheap widgets now best price widgets", "dupfarm"),
+        # gibberish source: zero stopwords
+        (7, "zzz qqq xxx www yyy kkk", "gibberish"),
+        (8, "mmm nnn ppp rrr sss ttt", "gibberish"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_source_stats(sourced_docs):
+    out = {r["source"]: r for r in X.source_stats(sourced_docs).collect()}
+    assert out["good"]["n_docs"] == 3
+    assert out["good"]["n_distinct_texts"] == 3
+    assert out["dupfarm"]["n_docs"] == 3
+    assert out["dupfarm"]["n_distinct_texts"] == 1
+    assert out["gibberish"]["sum_stop_hits"] == 0
+    assert out["good"]["sum_stop_hits"] > 0
+    assert out["good"]["sum_tokens"] == 30
+
+
+def test_source_filter(sourced_docs):
+    kept = X.source_filter(
+        sourced_docs, max_dup_pct=50, min_stop_per_mille=10
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 3]
+    # relaxing both gates keeps everything
+    all_kept = X.source_filter(
+        sourced_docs, max_dup_pct=100, min_stop_per_mille=0
+    ).collect()
+    assert len(all_kept) == 8
+
+
+def test_source_filter_broadcasts_keep_list(sourced_docs):
+    plan = X.source_filter(sourced_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

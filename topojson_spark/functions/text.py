@@ -555,3 +555,122 @@ def simhash_neardup_pairs(
         )
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# -------------------------------------------------------------- PII redact
+
+
+# Patterns are written to the common subset of Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b word boundaries — no
+# lookarounds, no backreferences — so the oracle runs the LITERAL same
+# pattern. Order matters and is fixed (email -> phone -> ipv4): an email's
+# local part may contain digit runs a later pattern could clip, so emails
+# are removed first in both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses from ``text_col``.
+
+    One row per document: ``doc_id, clean_text, n_emails, n_phones,
+    n_ips``. Counts are taken BEFORE any replacement (on the raw text for
+    emails; on the email-redacted text for phones, etc.) so each count
+    reflects what its own pass actually removed.
+
+    100 TB design: three chained ``regexp_count``/``regexp_replace``
+    projections — pure whole-stage codegen, zero shuffles, zero state. A
+    PII scrub over 100 TB is exactly one scan. The replacement tokens are
+    bracketed uppercase sentinels (never produced by the patterns
+    themselves, so the three passes cannot cascade into each other).
+    """
+    text = F.col(text_col)
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "[PHONE]")
+    after_ip = F.regexp_replace(after_phone, PII_IPV4_RE, "[IP]")
+    return documents.select(
+        "doc_id",
+        after_ip.alias("clean_text"),
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(PII_IPV4_RE)).alias("n_ips"),
+    )
+
+
+# ------------------------------------------------------- source reputation
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus statistics for C4-style domain/source filtering.
+
+    One row per ``source``: doc count, distinct-text count (md5 identity),
+    total token count and total stopword hits. All four are exact integer
+    aggregates — no floating-point means — so the row is bit-identical
+    across engines and partition orders; consumers derive ratios
+    (dup rate = 1 - n_distinct/n_docs, stopword density = sum_stop_hits /
+    sum_tokens) or compare via cross-multiplied integers as
+    :func:`source_filter` does.
+
+    100 TB design: a single groupBy on ``source`` with map-side partial
+    aggregation — only (source, partial counters) tuples shuffle, never
+    text. The result is one row per source (web corpora: ~1e7 domains,
+    a few hundred MB), which is exactly the small side a broadcast join
+    wants downstream.
+    """
+    toks = tokens_col(F.col("text"))
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "a", "an", "and", "of", "to", "in", "is"),
+        )
+    )
+    return (
+        documents.select(
+            "source",
+            _md5_64(F.col("text")).alias("tdig"),
+            F.size(toks).alias("ntok"),
+            stop_hits.alias("nstop"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("tdig")).alias("n_distinct_texts"),
+            F.sum("ntok").alias("sum_tokens"),
+            F.sum("nstop").alias("sum_stop_hits"),
+        )
+    )
+
+
+def source_filter(
+    documents: DataFrame,
+    max_dup_pct: int = 50,
+    min_stop_per_mille: int = 10,
+) -> DataFrame:
+    """Drop every document from low-reputation sources.
+
+    A source is kept iff its duplicate rate is at most ``max_dup_pct``
+    percent (duplicates = docs beyond the first per distinct text) AND its
+    corpus-wide stopword density is at least ``min_stop_per_mille`` per
+    thousand tokens. Both predicates are evaluated as cross-multiplied
+    integer comparisons — no division, no doubles — so the keep set is
+    engine-exact.
+
+    Returns the surviving documents (all original columns).
+
+    100 TB design: :func:`source_stats` reduces to one tiny row per
+    source; the keep list is broadcast back into a map-side semi join, so
+    the corpus itself is scanned once and never shuffled.
+    """
+    stats = source_stats(documents)
+    keep = stats.where(
+        (
+            (F.col("n_docs") - F.col("n_distinct_texts")) * 100
+            <= F.lit(max_dup_pct) * F.col("n_docs")
+        )
+        & (
+            F.col("sum_stop_hits") * 1000
+            >= F.lit(min_stop_per_mille) * F.col("sum_tokens")
+        )
+    ).select("source")
+    return documents.join(F.broadcast(keep), on="source", how="inner")
