@@ -74,6 +74,7 @@ from topojson_spark.functions.curation import (  # noqa: E402
     stratified_sample,
 )
 from topojson_spark.functions.events import (  # noqa: E402
+    asof_join,
     sessionize,
 )
 from topojson_spark.functions.graph import (  # noqa: E402
@@ -99,6 +100,7 @@ from topojson_spark.functions.text import (  # noqa: E402
     simhash,
     source_filter,
     source_stats,
+    term_stats,
     token_count,
 )
 
@@ -522,6 +524,42 @@ def q_source_filter(spark, sf_dir):
     return source_filter(docs, max_dup_pct=50, min_stop_per_mille=60)
 
 
+_US_SQL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+    "cast(ts as timestamp_ntz))"
+)
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: every non-error event picks up the latest
+    preceding (or simultaneous) error of the same user. Spark has no
+    ASOF JOIN; the operator is the union+window composition — one
+    exchange, no row multiplication."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join(left, right, right_cols=("value",))
+    return out.select(
+        "user_id",
+        "event_id",
+        F.expr(_US_SQL).alias("us"),
+        "value",
+        "asof_us",
+        "asof_value",
+    )
+
+
+def q_term_stats(spark, sf_dir):
+    """Corpus vocabulary (document frequency + term frequency, df >= 2):
+    the two-level word-count whose exchange carries one tuple per
+    distinct (term, doc), never one per occurrence."""
+    return term_stats(_t(spark, sf_dir, "documents"), min_df=2)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-minute gap): one exchange on user_id
     serves the lag/cumsum windows AND the session aggregate."""
@@ -798,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "source_stats": q_source_stats,
         "source_filter": q_source_filter,
+        "asof_join": q_asof_join,
+        "term_stats": q_term_stats,
         "sessionize": q_sessionize,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
@@ -1370,6 +1410,32 @@ def oracle_sql() -> dict[str, str]:
                 AND sum_stop_hits * 1000 >= 60 * sum_tokens
             )
             SELECT d.* FROM documents d JOIN keep USING (source)""",
+        "asof_join": """
+            WITH err AS (
+              SELECT user_id, epoch_us(ts) AS us, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts)
+                       ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'error'
+            ),
+            err1 AS (SELECT user_id, us, value FROM err WHERE rn = 1),
+            lft AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, value
+              FROM events WHERE event_type <> 'error'
+            )
+            SELECT l.user_id, l.event_id, l.us, l.value,
+                   e.us AS asof_us, e.value AS asof_value
+            FROM lft l ASOF LEFT JOIN err1 e
+              ON l.user_id = e.user_id AND l.us >= e.us""",
+        "term_stats": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+            ),
+            pd AS (
+              SELECT term, doc_id, count(*) AS n FROM tok GROUP BY 1, 2
+            )
+            SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
+            FROM pd GROUP BY term HAVING count(*) >= 2""",
         "sessionize": """
             WITH flag AS (
               SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -55,3 +55,98 @@ def test_sessionize_single_exchange(events):
     exchange on user_id — no second shuffle in the plan."""
     plan = sessionize(events)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- asof join
+
+
+@pytest.fixture(scope="module")
+def asof_tables(spark):
+    from topojson_spark.functions.events import asof_join  # noqa: F401
+
+    left = spark.createDataFrame(
+        [
+            (10, _ts(5), 1, 1.5),    # after err@0 only -> matches 100
+            (11, _ts(20), 1, 2.5),   # after the err@15 pair
+            (12, _ts(15), 1, 3.5),   # EXACTLY at the err@15 pair
+            (13, _ts(1), 2, 4.5),    # user 2 has no errors -> NULLs
+            (14, _ts(0), 3, 5.5),    # before user 3's only error -> NULLs
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(0), 1, 9.0),
+            (101, _ts(15), 1, 8.0),
+            (102, _ts(15), 1, 7.0),  # same ts as 101: greater id wins
+            (103, _ts(10), 3, 6.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    return left, right
+
+
+def test_asof_join_basic(asof_tables):
+    from topojson_spark.functions.events import asof_join
+
+    left, right = asof_tables
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, right_cols=("value",)).collect()
+    }
+    assert len(out) == 5
+    assert out[10]["asof_value"] == 9.0
+    # equal right timestamps: greatest tiebreak (event_id 102) wins
+    assert out[11]["asof_value"] == 7.0
+    # left ts exactly equal to a right ts matches it (<= semantics)
+    assert out[12]["asof_value"] == 7.0
+    # no error for user 2 / error strictly after: NULL
+    assert out[13]["asof_value"] is None and out[13]["asof_us"] is None
+    assert out[14]["asof_value"] is None
+
+
+def test_asof_join_preserves_left_columns(asof_tables):
+    from topojson_spark.functions.events import asof_join
+
+    left, right = asof_tables
+    out = asof_join(left, right, right_cols=("value",))
+    assert set(out.columns) == {
+        "user_id", "event_id", "ts", "value", "asof_us", "asof_value",
+    }
+    assert out.count() == left.count()  # no row multiplication
+
+
+def test_asof_join_single_exchange(asof_tables):
+    """The whole as-of join must cost ONE shuffle (on the key)."""
+    from topojson_spark.functions.events import asof_join
+
+    left, right = asof_tables
+    plan = (
+        asof_join(left, right, right_cols=("value",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# --------------------------------------------------------------- term stats
+
+
+def test_term_stats(spark):
+    from topojson_spark.functions.text import term_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the cat the"),
+            (2, "the dog"),
+            (3, "cat! CAT?"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in term_stats(docs).collect()}
+    assert out["the"]["df"] == 2 and out["the"]["tf"] == 4
+    assert out["cat"]["df"] == 2 and out["cat"]["tf"] == 4  # normalized
+    assert out["dog"]["df"] == 1 and out["dog"]["tf"] == 1
+    filtered = {r["term"] for r in term_stats(docs, min_df=2).collect()}
+    assert filtered == {"the", "cat"}

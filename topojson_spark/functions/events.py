@@ -12,6 +12,101 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(ts_col: str):
+    """Microsecond integer epoch of a timestamp column — timezone-free
+    (goes through TIMESTAMP_NTZ) and bit-identical to DuckDB epoch_us."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("value",),
+    tiebreak: str = "event_id",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: attach to every ``left`` row the most recent
+    ``right`` row of the same ``on`` group with ``right.ts <= left.ts``
+    (equal timestamps match). Unmatched left rows keep NULLs.
+
+    Output: every left column, plus ``{prefix}us`` (the matched right
+    row's microsecond epoch) and ``{prefix}{c}`` for each ``right_cols``
+    entry. When several right rows share one timestamp, the greatest
+    ``tiebreak`` wins — deterministic across engines and partition orders.
+
+    Spark has no ASOF JOIN; the naive encoding (inequality theta-join +
+    argmax) degenerates to BroadcastNestedLoop / an exploded range join.
+    This is the scale-correct composition: tag both sides, UNION them,
+    and carry the latest right payload forward with
+    ``last(..., ignoreNulls=True)`` over one window ordered by
+    (epoch_us, side, tiebreak) — right rows sort before left rows at
+    equal timestamps, which implements the <=.
+
+    100 TB design: exactly ONE exchange (on the join key) and one sort —
+    the same cost as the sort-merge join Spark would run for an equi-join
+    of the two tables; no row multiplication, no driver state. A
+    pathologically hot key serializes within its task (window semantics);
+    AQE skew-split cannot divide a window partition, so extreme key skew
+    is a data-model concern, documented here rather than hidden.
+    """
+    lus, rus = _epoch_us(ts_col), _epoch_us(ts_col)
+    payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    r = right.select(
+        F.col(on),
+        rus.alias("_us"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tie"),
+        *payload,
+        *[F.lit(None).cast(t.dataType).alias(f"_l_{t.name}")
+          for t in left.schema.fields],
+    )
+    l = left.select(
+        F.col(on),
+        lus.alias("_us"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+        *[F.col(t.name).alias(f"_l_{t.name}") for t in left.schema.fields],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_us", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        F.last(F.when(F.col("_side") == 0, F.col("_us")), ignorenulls=True)
+        .over(w)
+        .alias(f"{prefix}us"),
+        *[
+            F.last(
+                F.when(F.col("_side") == 0, F.col(f"_r_{c}")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    keep = [
+        F.col(f"_l_{t.name}").alias(t.name)
+        for t in left.schema.fields
+        if t.name != on
+    ]
+    return carried.where(F.col("_side") == 1).select(
+        F.col(on),
+        *keep,
+        F.col(f"{prefix}us"),
+        *[F.col(f"{prefix}{c}") for c in right_cols],
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -557,6 +557,42 @@ def simhash_neardup_pairs(
     )
 
 
+# -------------------------------------------------------------- vocabulary
+
+
+def term_stats(documents: DataFrame, min_df: int = 1) -> DataFrame:
+    """Corpus vocabulary: one row per distinct term with its document
+    frequency (``df`` — documents containing the term) and total term
+    frequency (``tf`` — occurrences across the corpus), filtered to
+    ``df >= min_df``. The input to IDF tables, vocab pruning and
+    tokenizer training.
+
+    100 TB design: the classic two-level word-count. Tokens explode to
+    (term, doc_id) and aggregate per (term, doc_id) first — partial
+    aggregation collapses a document's repeated terms map-side, so the
+    exchange carries at most one tuple per DISTINCT (term, doc) pair,
+    not one per occurrence. The second groupBy (term) rides the same
+    hash partitioning prefix. Zipf skew is absorbed by the map-side
+    combine: a stopword appearing 1e9 times still ships one tuple per
+    (doc, term). No count_distinct (its expand doubles the shuffle).
+    """
+    per_doc = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("n").alias("tf"),
+        )
+        .where(F.col("df") >= F.lit(min_df))
+    )
+
+
 # -------------------------------------------------------------- PII redact
 
 
