@@ -445,7 +445,7 @@ CASES = {
 }
 
 
-@pytest.mark.parametrize("engine", ["pairwise", "relational"])
+@pytest.mark.parametrize("engine", ["cellgrouped", "pairwise", "relational"])
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_ref_join_case(spark, name, engine):
     data, kw, expected, _ref = CASES[name]

@@ -252,15 +252,7 @@ def candidate_pairs(
     envelope columns (x0, y0, x1, y1); the returned frame has
     (lid_a, coords_a, lid_b, coords_b), each pair exactly once.
     """
-    if cell is None:
-        span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
-        cell = span / 64 if span > 0 else 1.0
-    else:
-        # never let envelope-sized cells shatter a tiny-extent corpus into
-        # a huge cell universe relative to the bbox
-        span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
-        if span > 0:
-            cell = max(cell, span / 4096)
+    cell = _cell_size(bbox, cell)
     # pair enumeration and dedup run over *ids + envelopes only*; the heavy
     # coordinate arrays are joined in once per surviving pair (shuffle bytes
     # stay proportional to the pair list, not to pair-multiplicity x coords).
@@ -381,6 +373,183 @@ def junctions_path_connected_pairwise(
     return raw.dropDuplicates(["jx", "jy"])
 
 
+def _cell_size(bbox: Tuple, cell: Optional[float]) -> float:
+    """Shared grid-cell sizing for the junction engines: default span/64,
+    and never let envelope-sized cells shatter a tiny-extent corpus into a
+    huge cell universe relative to the bbox."""
+    span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
+    if cell is None:
+        return span / 64 if span > 0 else 1.0
+    if span > 0:
+        cell = max(cell, span / 4096)
+    return cell
+
+
+def junctions_path_connected_cellgrouped(
+    lines_with_lid: DataFrame, bbox: Tuple, cell: Optional[float] = None
+) -> DataFrame:
+    """Cell-grouped junction detection — same pair semantics as the
+    pairwise engine (same kernels, validated on the same reference ledger),
+    restructured so each line's coordinate array crosses the wire once per
+    grid CELL it touches instead of once per candidate PAIR.
+
+    Plan shape (the 100 TB rationale):
+
+    1. Representative selection never moves coords: a digest-only
+       ``groupBy(pdig).agg(min(lid))`` (narrow tuples) followed by a
+       broadcast semi-join marks one deterministic representative per
+       spatial path. The pairwise engine's ``groupBy(pdig)`` ships every
+       coordinate array through the exchange just to pick one.
+    2. ONE wide exchange: representatives explode to the envelope's grid
+       cells (multiplicity ~(1 + w/cell)^2, typically 2-4) and hash-
+       repartition by (cx, cy) + sort within partitions. The pairwise plan
+       moves coords through TWO wide shuffle joins with multiplicity = the
+       pair fan-out (the neighbor count, typically 6-10) — on adjacency-
+       dense corpora this engine moves ~3x fewer bytes through the
+       junction stage, which is exactly what caps 4->16-core scaling on
+       memory-bandwidth-saturated hosts.
+    3. Pair enumeration happens INSIDE the Arrow worker: per cell,
+       envelope-overlap candidates via a vectorized triangular mask, each
+       pair processed exactly once at its canonical cell — the cell of
+       floor((max(x0_a, x0_b) - bx) / cell): envelope overlap guarantees
+       that cell is in both lines' exploded ranges, and the floor
+       arithmetic is the same IEEE-double expression the JVM explode
+       evaluated, so the assignment is bit-exact on both sides.
+
+    Returns distinct (jx, jy).
+    """
+    cell = _cell_size(bbox, cell)
+    bx, by = bbox[0], bbox[1]
+
+    rep_ids = lines_with_lid.groupBy("pdig").agg(F.min("lid").alias("lid"))
+    # broadcast is right up to ~10^8 distinct paths (8B ids); beyond that
+    # flip to a shuffle semi-join (SPARK_GRAFT_BROADCAST_REPS=0) — the one
+    # extra coords pass it costs is still cheaper than pairwise's two
+    rep_side = rep_ids.select("lid")
+    if os.environ.get("SPARK_GRAFT_BROADCAST_REPS", "1") != "0":
+        rep_side = F.broadcast(rep_side)
+    reps = lines_with_lid.join(rep_side, on="lid", how="leftsemi").select(
+        "lid", "coords", "x0", "y0", "x1", "y1"
+    )
+
+    cells = (
+        reps.withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("x0") - F.lit(bx)) / F.lit(cell)),
+                    F.floor((F.col("x1") - F.lit(bx)) / F.lit(cell)),
+                )
+            ),
+        )
+        .withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("y0") - F.lit(by)) / F.lit(cell)),
+                    F.floor((F.col("y1") - F.lit(by)) / F.lit(cell)),
+                )
+            ),
+        )
+        .repartition("cx", "cy")
+        .sortWithinPartitions("cx", "cy")
+    )
+
+    out_schema = _T2_SCHEMA
+
+    def find_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def process(pdf: pd.DataFrame) -> list:
+            pts: list = []
+            if len(pdf) < 2:
+                return pts
+            cxv = pdf["cx"].to_numpy()
+            cyv = pdf["cy"].to_numpy()
+            chg = np.nonzero((cxv[1:] != cxv[:-1]) | (cyv[1:] != cyv[:-1]))[0] + 1
+            starts = np.concatenate([[0], chg])
+            ends = np.concatenate([chg, [len(pdf)]])
+            x0 = pdf["x0"].to_numpy()
+            y0 = pdf["y0"].to_numpy()
+            x1 = pdf["x1"].to_numpy()
+            y1 = pdf["y1"].to_numpy()
+            lid = pdf["lid"].to_numpy()
+            coords = pdf["coords"].to_numpy()
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                k = e - s
+                if k < 2:
+                    continue
+                gx0, gy0 = x0[s:e], y0[s:e]
+                gx1, gy1 = x1[s:e], y1[s:e]
+                i, j = np.triu_indices(k, 1)
+                ov = (
+                    (gx0[i] <= gx1[j]) & (gx0[j] <= gx1[i])
+                    & (gy0[i] <= gy1[j]) & (gy0[j] <= gy1[i])
+                )
+                if not ov.any():
+                    continue
+                i, j = i[ov], j[ov]
+                # canonical-cell ownership: bit-identical to the JVM explode
+                ccx = np.floor((np.maximum(gx0[i], gx0[j]) - bx) / cell)
+                ccy = np.floor((np.maximum(gy0[i], gy0[j]) - by) / cell)
+                own = (ccx == cxv[s]) & (ccy == cyv[s])
+                if not own.any():
+                    continue
+                i, j = i[own], j[own]
+                arrs: dict = {}
+                glid = lid[s:e]
+                for ii, jj in zip(i.tolist(), j.tolist()):
+                    # kernel arg order pinned to lid order (endpoint sets
+                    # are symmetric; this keeps raw emission byte-stable)
+                    if glid[jj] < glid[ii]:
+                        ii, jj = jj, ii
+                    a = arrs.get(ii)
+                    if a is None:
+                        a = arrs[ii] = K.as_np(coords[s + ii])
+                    b = arrs.get(jj)
+                    if b is None:
+                        b = arrs[jj] = K.as_np(coords[s + jj])
+                    segs = K.line_pair_shared_segments(a, b)
+                    if len(segs):
+                        pts.append(K.shared_chain_endpoints(segs))
+            return pts
+
+        def emit(pts: list) -> pd.DataFrame:
+            if pts:
+                allp = np.concatenate(pts)
+                return pd.DataFrame({"jx": allp[:, 0], "jy": allp[:, 1]})
+            return pd.DataFrame(
+                {
+                    "jx": pd.Series([], dtype="float64"),
+                    "jy": pd.Series([], dtype="float64"),
+                }
+            )
+
+        pend: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if pend is not None and len(pend):
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+            pend = None
+            if not len(pdf):
+                continue
+            # the trailing cell may continue in the next Arrow batch:
+            # hold its rows back (rows arrive sorted by (cx, cy))
+            cxv = pdf["cx"].to_numpy()
+            cyv = pdf["cy"].to_numpy()
+            not_last = (cxv != cxv[-1]) | (cyv != cyv[-1])
+            if not_last.any():
+                tail = int(np.nonzero(not_last)[0][-1]) + 1
+            else:
+                tail = 0
+            pend = pdf.iloc[tail:]
+            head = pdf.iloc[:tail]
+            if len(head):
+                yield emit(process(head))
+        if pend is not None and len(pend):
+            yield emit(process(pend))
+
+    raw = cells.mapInPandas(find_cells, schema=out_schema)
+    return raw.dropDuplicates(["jx", "jy"])
+
+
 def _normz(c: str):
     """-0.0 -> +0.0 (IEEE: -0.0 + 0.0 == +0.0), matching the kernel's
     ``pts + 0.0`` key normalization (kernels._undirected_seg_keys)."""
@@ -491,27 +660,33 @@ def junctions_path_connected(
     max_line_pts: int = 0,
 ) -> DataFrame:
     """Path-connected junction detection (reference join.py:200-226):
-    dispatch between the two engines.
+    dispatch between the three engines.
 
-    - ``pairwise`` (default for normally-sized lines): grid-cell candidate
-      pairs -> per-pair numpy sweep. ONE coords shuffle, then CPU-bound
-      Arrow kernels — measured 2.4x faster and markedly better-scaling
-      than the relational plan on adjacency-dense corpora (the shuffle
-      fraction is what caps scaling on memory-bandwidth-bound hosts).
+    - ``cellgrouped`` (default for normally-sized lines): grid-cell
+      grouping, pair enumeration INSIDE the Arrow worker — one coords
+      exchange at cell multiplicity (~2-4x) instead of pair multiplicity
+      (~6-10x). Same kernels and pair semantics as ``pairwise``; moves
+      ~3x fewer bytes through the stage's exchanges.
+    - ``pairwise``: grid-cell candidate pairs -> per-pair numpy sweep,
+      coords joined per pair. The engine ``cellgrouped`` was validated
+      against; kept as the explicit fallback.
     - ``relational``: segment-level whole-stage-codegen plan. Several
       narrow-tuple shuffles over O(total segments); slower here, but its
       unit of parallelism is a SEGMENT, so corpora whose individual lines
-      are huge (a pairwise task must hold both lines of a pair) stay
-      balanced. Auto-selected when the longest line exceeds
-      GIANT_LINE_PTS vertices.
+      are huge (a cell/pair task must hold whole lines) stay balanced.
+      Auto-selected when the longest line exceeds GIANT_LINE_PTS vertices.
 
     ``engine`` (or SPARK_GRAFT_JUNCTION_ENGINE) forces one explicitly;
-    both are validated against the full reference junction suite.
+    all are validated against the full reference junction suite.
     """
     engine = engine or os.environ.get("SPARK_GRAFT_JUNCTION_ENGINE")
     if engine is None:
         engine = (
-            "relational" if max_line_pts > GIANT_LINE_PTS else "pairwise"
+            "relational" if max_line_pts > GIANT_LINE_PTS else "cellgrouped"
+        )
+    if engine == "cellgrouped":
+        return junctions_path_connected_cellgrouped(
+            lines_with_lid, bbox, cell
         )
     if engine == "pairwise":
         return junctions_path_connected_pairwise(lines_with_lid, bbox, cell)
