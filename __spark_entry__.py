@@ -71,6 +71,7 @@ CENTROIDS = [
 from topojson_spark.functions.curation import (  # noqa: E402
     decontaminate,
     hash_sample,
+    pack_sequences,
     stratified_sample,
 )
 from topojson_spark.functions.events import (  # noqa: E402
@@ -341,6 +342,12 @@ def q_hash_sample(spark, sf_dir):
     and partition-order independent (a rand(seed) sample is neither)."""
     docs = _t(spark, sf_dir, "documents")
     return hash_sample(docs, 0.25, salt="r3").select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing: deterministic doc order, distributed
+    exclusive prefix sum of token counts, context-window assignment."""
+    return pack_sequences(_t(spark, sf_dir, "documents"), max_tokens=2048)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -816,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "corpus_curation": q_corpus_curation,
         "hash_sample": q_hash_sample,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_jaccard,
@@ -1093,6 +1101,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'r3'), 1, 15))::BIGINT
                   < {int(0.25 * (1 << 60))}""",
+        # exclusive running token total in doc_id order; the Spark side is
+        # a distributed two-phase prefix sum, the oracle the plain window
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS start_tok
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_tok,
+              (start_tok // 2048)::BIGINT AS pack_id,
+              (start_tok % 2048)::BIGINT AS pack_offset
+            FROM p""",
         "stratified_sample": """
             WITH h AS (
               SELECT doc_id, lang,

@@ -115,6 +115,7 @@ def main() -> None:
         "minhash_lsh_pairs",
         "dedup_survivors",
         "hash_sample",
+        "pack_sequences",
         "decontaminate",
         "cosine_topk",
         "ann_lsh_topk",

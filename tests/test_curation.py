@@ -228,3 +228,57 @@ def test_decontaminate_auto_sizes_build_side(spark):
     )
     assert m3.snapshot()["decontaminate"]["broadcast"] is False
     assert m3.snapshot()["decontaminate"]["n_benchmark_shingles"] is None
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences / prefix_sum
+
+
+def test_prefix_sum_exclusive_and_partition_invariant(spark):
+    from topojson_spark.plans.ids import prefix_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+    expected = {}
+    acc = 0
+    for i, v in rows:  # rows already in id order
+        expected[i] = acc
+        acc += v
+
+    for nparts in (1, 3, 16):
+        df = spark.createDataFrame(rows, "id long, v long").repartition(nparts)
+        got = {
+            r["id"]: r["p"]
+            for r in prefix_sum(df, ["id"], "v", "p").collect()
+        }
+        assert got == expected, f"nparts={nparts}"
+
+
+def test_prefix_sum_empty_and_single_row(spark):
+    from topojson_spark.plans.ids import prefix_sum
+
+    empty = spark.createDataFrame([], "id long, v long")
+    assert prefix_sum(empty, ["id"], "v", "p").count() == 0
+
+    one = spark.createDataFrame([(5, 42)], "id long, v long")
+    assert prefix_sum(one, ["id"], "v", "p").collect()[0]["p"] == 0
+
+
+def test_pack_sequences_window_math(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 13) % 9)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.pack_sequences(docs, max_tokens=16).collect()
+    }
+    acc = 0
+    for i in range(40):
+        n = 5 + (i * 13) % 9
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["start_tok"] == acc
+        assert r["pack_id"] == acc // 16
+        assert r["pack_offset"] == acc % 16
+        acc += n

@@ -229,3 +229,43 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("g")).alias("n_hits"))
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining sequence packing: lay documents end-to-end in a
+    deterministic id order and assign each one its position in the
+    resulting fixed-budget context-window stream.
+
+    Returns (id, n_tokens, start_tok, pack_id, pack_offset) where
+    ``start_tok`` is the exclusive running token total before the document,
+    ``pack_id = start_tok div max_tokens`` is the context window its first
+    token lands in, and ``pack_offset`` the position inside that window —
+    the concatenate-then-split packing used by GPT-style data loaders
+    (documents may straddle pack boundaries; the loader splits there).
+
+    Scale path: the global running total is a distributed two-phase prefix
+    sum (plans.ids.prefix_sum) — range-partition on the id, per-partition
+    cumsum, one O(partitions) offsets collect. A window ``SUM() OVER
+    (ORDER BY id)`` would funnel 10^12 rows through a single reducer; this
+    plan's only serial step is the tiny offsets collect. Token counts ride
+    the narrow (id, n_tokens) projection — text never moves."""
+    from .text import tokens_col
+    from ..plans.ids import prefix_sum
+
+    toks = documents.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    pref = prefix_sum(toks, [id_col], "n_tokens", "start_tok")
+    return pref.select(
+        id_col,
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / F.lit(max_tokens)).alias("pack_id"),
+        (F.col("start_tok") % F.lit(max_tokens)).alias("pack_offset"),
+    )

@@ -24,6 +24,56 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the EXCLUSIVE running sum of ``val_col`` over the total order
+    of ``order_cols`` (row i gets the sum of all strictly-earlier rows).
+
+    Same two-phase range-partition trick as dense_index — a global window
+    ``SUM() OVER (ORDER BY ...)`` would funnel everything through one
+    reducer; here the only serial step is a collect of per-partition totals
+    (O(partitions) rows). Deterministic for a given input dataset when
+    ``order_cols`` is a total order."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    arranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    arranged = arranged.cache()
+
+    sums = (
+        arranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(F.col(val_col)).alias("s"))
+        .collect()
+    )
+    size_map = {r["pid"]: int(r["s"] or 0) for r in sums}
+    offsets = {}
+    acc = 0
+    for pid in sorted(size_map):
+        offsets[pid] = acc
+        acc += size_map[pid]
+
+    schema = T.StructType(
+        arranged.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            vals = pdf[val_col].to_numpy()
+            out = pdf.copy()
+            run = vals.cumsum()
+            out[out_col] = pos + run - vals  # exclusive
+            pos += int(run[-1]) if len(vals) else 0
+            yield out
+
+    return arranged.mapInPandas(attach, schema=schema)
+
+
 def dense_index(
     df: DataFrame,
     order_cols: Sequence[str],
