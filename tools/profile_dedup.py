@@ -93,10 +93,12 @@ max_len = int(stats[0]["max_split"]) + 1 if stats else 0
 n_eligible = int(stats[0]["n_ok"]) if stats else 0
 
 t0 = time.time()
+from topojson_spark.operators.cut import _SUMMARY_COLS
 kept_arcs = pin(
     part_flags.where(F.col("is_keeper"))
-    .join(parts.select("ldig", "split_seq", "coords"), on=["ldig", "split_seq"])
-    .select("kept", "coords", "is_shared"))
+    .join(parts.select("ldig", "split_seq", "coords", *_SUMMARY_COLS),
+          on=["ldig", "split_seq"])
+    .select("kept", "coords", "is_shared", *_SUMMARY_COLS))
 kept_arcs.count()
 t["kept_arcs"] = time.time() - t0
 
@@ -121,19 +123,19 @@ t0 = time.time()
 kept_flat = kept_arcs.select(
     F.col("kept.feature_seq").alias("_f"), F.col("kept.unit_seq").alias("_u"),
     F.col("kept.ring_seq").alias("_r"), F.col("kept.split_seq").alias("_s"),
-    "kept", "is_shared", "coords")
+    "kept", "is_shared", "coords", *_SUMMARY_COLS)
 arcs_final = dense_index(kept_flat, ["_f", "_u", "_r", "_s"], "final_idx",
                          key_cols=["kept"])
 arcs_final = pin_truncate(
-    arcs_final.select("kept", "final_idx", "is_shared", "coords"))
+    arcs_final.select("kept", "final_idx", "is_shared", "coords",
+                      *_SUMMARY_COLS))
 n_arcs = arcs_final.count()
 t["dense+pin"] = time.time() - t0
 
 t0 = time.time()
-from topojson_spark.operators.hashmap import arc_summary_cols
 pmap = pin(
     part_flags.select("ldig", "split_seq", "kept").join(
-        arcs_final.select("kept", "final_idx", "is_shared", *arc_summary_cols()),
+        arcs_final.select("kept", "final_idx", "is_shared", *_SUMMARY_COLS),
         on="kept").select("ldig", "split_seq", "final_idx", "is_shared",
                           "fx", "fy", "lx", "ly", "shl"))
 pmap.count()

@@ -47,8 +47,35 @@ PARTS_SCHEMA = T.StructType(
         # in the same Arrow pass that produced the part, so the dedup stage
         # never needs a second coordinate-carrying frame
         T.StructField("pdig", T.BinaryType()),
+        # endpoint + open-chain-shoelace summary, also computed in this
+        # pass (the part is already a numpy array here): these five
+        # scalars are all the hashmap stage ever needs per arc, and
+        # minting them here removes a whole-arc-store higher-order
+        # Catalyst aggregate (interpreted, allocation-heavy) from dedup
+        T.StructField("fx", T.DoubleType()),
+        T.StructField("fy", T.DoubleType()),
+        T.StructField("lx", T.DoubleType()),
+        T.StructField("ly", T.DoubleType()),
+        T.StructField("shl", T.DoubleType()),
     ]
 )
+
+_SUMMARY_COLS = ["fx", "fy", "lx", "ly", "shl"]
+
+
+def part_summary(part: np.ndarray) -> tuple:
+    """(fx, fy, lx, ly, shl) for an (n, 2) part — the open-chain shoelace
+    pairs with reference ops.py:338-357 (see hashmap.backward_arcs_core)."""
+    x = part[:, 0]
+    y = part[:, 1]
+    shl = (
+        float(x[:-1] @ y[1:]) - float(x[1:] @ y[:-1])
+        if len(part) >= 2
+        else 0.0
+    )
+    return (
+        float(x[0]), float(y[0]), float(x[-1]), float(y[-1]), shl,
+    )
 
 ARCS_SCHEMA = T.StructType(
     [
@@ -119,7 +146,8 @@ def _cut_with_splitters(reps_with_split: DataFrame, path_mode: bool) -> DataFram
                 for si, part in enumerate(parts):
                     out.append(
                         (row.ldig, si, K.flat(part),
-                         sha1(canon(part)).digest())
+                         sha1(canon(part)).digest(),
+                         *part_summary(part))
                     )
             yield pd.DataFrame(
                 out, columns=[f.name for f in PARTS_SCHEMA.fields]

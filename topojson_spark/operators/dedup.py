@@ -51,6 +51,7 @@ from pyspark.sql import types as T
 from ..functions import kernels as K
 from ..plans.ids import dense_index
 from ..plans.pin import pin, pin_truncate
+from .cut import _SUMMARY_COLS, part_summary
 
 _POS = ["feature_seq", "unit_seq", "ring_seq", "split_seq"]
 
@@ -203,8 +204,11 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     # this survivor join against the part store
     kept_arcs = pin(
         part_flags.where(F.col("is_keeper"))
-        .join(parts.select("ldig", "split_seq", "coords"), on=["ldig", "split_seq"])
-        .select("kept", "coords", "is_shared")
+        .join(
+            parts.select("ldig", "split_seq", "coords", *_SUMMARY_COLS),
+            on=["ldig", "split_seq"],
+        )
+        .select("kept", "coords", "is_shared", *_SUMMARY_COLS)
     )
 
     # ---- contiguous merge (incl. the padded-array quirk) ----
@@ -275,8 +279,14 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
                 T.StructField("kept", kept_t),
                 T.StructField("action", T.StringType()),
                 T.StructField("new_coords", T.ArrayType(T.DoubleType())),
+                T.StructField("new_fx", T.DoubleType()),
+                T.StructField("new_fy", T.DoubleType()),
+                T.StructField("new_lx", T.DoubleType()),
+                T.StructField("new_ly", T.DoubleType()),
+                T.StructField("new_shl", T.DoubleType()),
             ]
         )
+        _merge_cols = [f.name for f in out_schema.fields]
 
         def merge_row(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("split_seq")
@@ -284,14 +294,14 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
             keys = list(pdf["kept"])
             chains = merge_lines_with_members(pieces)
             if len(chains) == len(pieces):
-                return pd.DataFrame(columns=["kept", "action", "new_coords"])
+                return pd.DataFrame(columns=_merge_cols)
             fused = [
                 (min(members), chain, members)
                 for chain, members in chains
                 if len(members) >= 2
             ]
             if not fused:
-                return pd.DataFrame(columns=["kept", "action", "new_coords"])
+                return pd.DataFrame(columns=_merge_cols)
             fused.sort(key=lambda t: t[0])
             _, chain, members = fused[0]
 
@@ -305,13 +315,13 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
 
             member_keys = [keys[m] for m in members]
             keep = max(member_keys, key=key_tuple)
-            rows = [(keep, "keep", K.flat(chain))]
+            rows = [(keep, "keep", K.flat(chain), *part_summary(chain))]
             rows += [
-                (k, "pop", None)
+                (k, "pop", None, None, None, None, None, None)
                 for k in member_keys
                 if key_tuple(k) != key_tuple(keep)
             ]
-            return pd.DataFrame(rows, columns=["kept", "action", "new_coords"])
+            return pd.DataFrame(rows, columns=_merge_cols)
 
         # no eager count here: an empty merge result (the common case at
         # scale — shared-arc-heavy corpora have no merge-eligible rows) makes
@@ -322,7 +332,8 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         )
         popped_merge = merged.where(F.col("action") == "pop").select("kept")
         merged_coords = merged.where(F.col("action") == "keep").select(
-            "kept", "new_coords"
+            "kept", "new_coords",
+            "new_fx", "new_fy", "new_lx", "new_ly", "new_shl",
         )
 
     # ---- apply merge results ----
@@ -332,12 +343,16 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     pmap0 = part_flags.select("ldig", "split_seq", "kept")
     if popped_merge is not None:
         kept_arcs = kept_arcs.join(popped_merge, on="kept", how="left_anti")
-        kept_arcs = (
-            kept_arcs.join(merged_coords, on="kept", how="left")
-            .withColumn(
-                "coords", F.coalesce(F.col("new_coords"), F.col("coords"))
+        kept_arcs = kept_arcs.join(merged_coords, on="kept", how="left")
+        kept_arcs = kept_arcs.withColumn(
+            "coords", F.coalesce(F.col("new_coords"), F.col("coords"))
+        )
+        for c in _SUMMARY_COLS:
+            kept_arcs = kept_arcs.withColumn(
+                c, F.coalesce(F.col(f"new_{c}"), F.col(c))
             )
-            .drop("new_coords")
+        kept_arcs = kept_arcs.drop(
+            "new_coords", *[f"new_{c}" for c in _SUMMARY_COLS]
         )
         pmap0 = pmap0.join(popped_merge, on="kept", how="left_anti")
 
@@ -351,6 +366,7 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         "kept",
         "is_shared",
         "coords",
+        *_SUMMARY_COLS,
     )
     arcs_final = dense_index(
         kept_flat, ["_f", "_u", "_r", "_s"], "final_idx", key_cols=["kept"]
@@ -359,21 +375,23 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     # downstream consumer (Topology.arcs, exports) read this same store —
     # pinning later would compute the survivor join + dense ranking twice
     arcs_final = pin_truncate(
-        arcs_final.select("kept", "final_idx", "is_shared", "coords")
+        arcs_final.select(
+            "kept", "final_idx", "is_shared", "coords", *_SUMMARY_COLS
+        )
     )
 
     # pmap carries the fixed-size endpoint/shoelace summary of each arc
-    # (computed here, in the join against the arc store that mints final
-    # ids anyway) so the hashmap stage never joins arcs_final again
-    from .hashmap import arc_summary_cols
-
+    # (minted upstream in the cut kernel's numpy pass, merged arcs
+    # re-summarized in merge_row) so the hashmap stage never joins
+    # arcs_final again and no coords-wide expression ever re-runs here
+    #
     # plain cache, not a checkpoint boundary: both parents are pinned, so
     # the lineage is one shallow join — a localCheckpoint here would add a
     # serialized materialization for bytes that are already resident
     pmap = pin(
         pmap0.join(
             arcs_final.select(
-                "kept", "final_idx", "is_shared", *arc_summary_cols()
+                "kept", "final_idx", "is_shared", *_SUMMARY_COLS
             ),
             on="kept",
         ).select(
@@ -382,4 +400,8 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
         )
     )
     refs_final = expand_refs(line_refs, pmap)
-    return arcs_final.drop("kept"), refs_final, pmap
+    return (
+        arcs_final.drop("kept", *_SUMMARY_COLS),
+        refs_final,
+        pmap,
+    )

@@ -45,17 +45,6 @@ RESOLVED_SCHEMA = T.StructType(
     ]
 )
 
-# open-chain shoelace partial: sum_i cross(c_i, c_{i+1}) over the arc's own
-# segments (reversal negates it); guarded so a degenerate 1-point arc can't
-# produce a descending sequence()
-_SHL_EXPR = (
-    "if(size(coords) >= 4, "
-    "aggregate(sequence(0, (size(coords) div 2) - 2), cast(0.0 as double), "
-    "(acc, i) -> acc + coords[2*i] * coords[2*i + 3] "
-    "- coords[2*i + 2] * coords[2*i + 1]), 0.0d)"
-)
-
-
 def _hash_order(arc_ids: np.ndarray, shared_bool: np.ndarray):
     """Port of hashmap.py:137-196 (decision list per shared/non-shared run)."""
     split_arc_ids = np.split(arc_ids, np.nonzero(~shared_bool)[0])
@@ -230,19 +219,6 @@ _RESOLVED_D_SCHEMA = T.StructType(
 )
 
 
-def arc_summary_cols():
-    """Endpoint + open-chain-shoelace summary projection over an arc row's
-    ``coords`` — materialized into pmap by the dedup stage so the hashmap
-    stage never joins the arc store (one less shuffle pair per pipeline)."""
-    return [
-        F.expr("coords[0]").alias("fx"),
-        F.expr("coords[1]").alias("fy"),
-        F.expr("element_at(coords, -2)").alias("lx"),
-        F.expr("element_at(coords, -1)").alias("ly"),
-        F.expr(_SHL_EXPR).alias("shl"),
-    ]
-
-
 def hashmap_stage(
     line_refs: DataFrame,
     pmap: DataFrame,
@@ -258,8 +234,10 @@ def hashmap_stage(
     polarities come out of a single backward_arcs_core pass (the winding
     double-check is polarity-dependent but endpoint-cheap) — and the result
     joins back to the O(features) rows on (ldig, inner); duplicate-heavy
-    corpora never repeat it. ``arcs_final`` is unused (summaries ride pmap,
-    see arc_summary_cols); kept in the signature for call-site clarity.
+    corpora never repeat it. ``arcs_final`` is unused (the endpoint +
+    open-chain-shoelace summaries ride pmap, minted in the cut kernel's
+    numpy pass — see cut.part_summary); kept in the signature for
+    call-site clarity.
     """
     winding = options.winding_order
 
