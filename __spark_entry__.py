@@ -72,6 +72,7 @@ from topojson_spark.functions.curation import (  # noqa: E402
     decontaminate,
     hash_sample,
     pack_sequences,
+    quantile_threshold_filter,
     stratified_sample,
 )
 from topojson_spark.functions.events import (  # noqa: E402
@@ -348,6 +349,19 @@ def q_pack_sequences(spark, sf_dir):
     """Pretraining sequence packing: deterministic doc order, distributed
     exclusive prefix sum of token counts, context-window assignment."""
     return pack_sequences(_t(spark, sf_dir, "documents"), max_tokens=2048)
+
+
+def q_quantile_filter(spark, sf_dir):
+    """Keep the corpus's top 30% by alpha quality ratio — a global order
+    statistic computed WITHOUT a global sort: bucket histogram (narrow
+    map-side reduce), driver cumsum over <= grid rows, broadcast-literal
+    codegen filter."""
+    qual = quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "alpha_ratio"
+    )
+    return quantile_threshold_filter(qual, "alpha_ratio", 0.30).select(
+        "doc_id"
+    )
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -824,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "hash_sample": q_hash_sample,
         "pack_sequences": q_pack_sequences,
+        "quantile_filter": q_quantile_filter,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_jaccard,
@@ -1119,6 +1134,24 @@ def oracle_sql() -> dict[str, str]:
               (start_tok // 2048)::BIGINT AS pack_id,
               (start_tok % 2048)::BIGINT AS pack_offset
             FROM p""",
+        # same bucket/threshold contract as quantile_threshold_filter:
+        # ceil-quota over a descending bucket cumsum, whole boundary
+        # bucket survives
+        "quantile_filter": """
+            WITH s AS (
+              SELECT doc_id,
+                CAST(floor((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) * 100000) AS BIGINT) AS b
+              FROM documents
+            ), h AS (
+              SELECT b, count(*)::BIGINT AS c FROM s GROUP BY b
+            ), cm AS (
+              SELECT b, sum(c) OVER (ORDER BY b DESC) AS cum FROM h
+            ), t AS (
+              SELECT max(b) AS thr FROM cm
+              WHERE cum >= ceil(0.30 * (SELECT count(*) FROM s))
+            )
+            SELECT s.doc_id FROM s, t WHERE s.b >= t.thr""",
         "stratified_sample": """
             WITH h AS (
               SELECT doc_id, lang,

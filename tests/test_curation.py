@@ -282,3 +282,34 @@ def test_pack_sequences_window_math(spark):
         assert r["pack_id"] == acc // 16
         assert r["pack_offset"] == acc % 16
         acc += n
+
+
+def test_quantile_threshold_filter(spark):
+    # distinct buckets: keep_frac 0.3 of 10 rows -> quota 3 -> top 3 scores
+    df = spark.createDataFrame(
+        [(i, i / 10.0) for i in range(10)], "doc_id long, score double"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in C.quantile_threshold_filter(df, "score", 0.3, grid=10).collect()
+    )
+    assert got == [7, 8, 9]
+
+    # tie closure: the whole boundary bucket survives (smallest superset)
+    ties = spark.createDataFrame(
+        [(0, 0.5), (1, 0.5), (2, 0.5), (3, 0.9)], "doc_id long, score double"
+    )
+    assert (
+        C.quantile_threshold_filter(ties, "score", 0.25, grid=10).count() == 1
+    )
+    assert (
+        C.quantile_threshold_filter(ties, "score", 0.5, grid=10).count() == 4
+    )
+
+    # partition invariance + keep_frac >= 1 keeps everything
+    for nparts in (1, 7):
+        out = C.quantile_threshold_filter(
+            df.repartition(nparts), "score", 0.3, grid=10
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [7, 8, 9]
+    assert C.quantile_threshold_filter(df, "score", 1.0, grid=10).count() == 10

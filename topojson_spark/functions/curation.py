@@ -38,6 +38,7 @@ is what makes these operators oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window
@@ -269,3 +270,56 @@ def pack_sequences(
         F.floor(F.col("start_tok") / F.lit(max_tokens)).alias("pack_id"),
         (F.col("start_tok") % F.lit(max_tokens)).alias("pack_offset"),
     )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    grid: int = 100_000,
+    metrics=None,
+) -> DataFrame:
+    """Keep the rows whose ``score_col`` falls in the corpus's top
+    ``keep_frac`` fraction — a global order statistic WITHOUT a global
+    sort ("keep the best 30% of the corpus by quality score").
+
+    Contract: scores are quantized to ``floor(score * grid)`` buckets; the
+    threshold is the largest bucket value whose descending cumulative count
+    reaches ``ceil(keep_frac * n)``, and every row at-or-above it survives.
+    The result is therefore the smallest superset of the quota that is
+    closed under score ties at grid resolution — deterministic, engine
+    portable, partition-order independent.
+
+    100 TB design: a window ``percent_rank() OVER (ORDER BY score)`` is a
+    global sort — the one plan shape this engine never emits. Here the
+    corpus is reduced map-side to a bucket histogram (≤ ``grid`` + 1 narrow
+    rows cross the exchange regardless of corpus size), the threshold is a
+    driver-side cumsum over that tiny table, and the survivor set is a
+    zero-shuffle whole-stage-codegen filter — two passes over the scan,
+    zero bytes of document data moved. ``grid`` trades threshold
+    resolution against the histogram's (bounded) size."""
+    b = F.floor(F.col(score_col) * F.lit(grid)).cast("long")
+    hist = df.groupBy(b.alias("_b")).agg(F.count(F.lit(1)).alias("_c"))
+    rows = hist.collect()
+    total = sum(r["_c"] for r in rows)
+    if total == 0:
+        return df
+    # plain IEEE ceil(frac * n): bit-identical to the SQL oracle's
+    # ceil(0.3 * count(*)) — an "int-exact" reformulation would round the
+    # product differently at representation boundaries
+    quota = math.ceil(keep_frac * total)
+    cum = 0
+    threshold = None
+    for r in sorted(rows, key=lambda r: r["_b"], reverse=True):
+        cum += r["_c"]
+        if cum >= quota:
+            threshold = int(r["_b"])
+            break
+    if threshold is None:  # quota exceeds corpus (keep_frac >= 1)
+        threshold = min(int(r["_b"]) for r in rows)
+    if metrics is not None:
+        metrics.record(
+            "quantile_threshold",
+            threshold_bucket=threshold, quota=quota, n=total,
+        )
+    return df.where(b >= F.lit(threshold))

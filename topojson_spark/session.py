@@ -79,6 +79,31 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "false"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # observability seam: SPARK_GRAFT_EVENTLOG=<dir> writes the
+        # standard Spark event log there (history-server compatible);
+        # tools/ parse it for per-stage task-time attribution
+        .config(
+            "spark.eventLog.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_EVENTLOG") else "false",
+        )
+        .config(
+            "spark.eventLog.dir",
+            os.environ.get("SPARK_GRAFT_EVENTLOG", "/tmp/spark-events"),
+        )
+        # GC choice (local mode: driver == executor JVM). This workload is
+        # pure throughput — short-lived Arrow/shuffle allocations, no
+        # latency SLO — where stop-the-world ParallelGC beats G1: G1's
+        # concurrent mark/refinement threads compete with executor tasks
+        # for cores and memory bandwidth, and the contention grows with
+        # task parallelism (measured on the scaling job, 160k docs:
+        # 16-core leg 87.7s -> 67.3s, 4-core 208.6s -> 181.4s just from
+        # -XX:+UseParallelGC). Cluster deployments set their own
+        # spark.executor.extraJavaOptions; override via
+        # SPARK_GRAFT_JVM_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
     )
