@@ -171,30 +171,53 @@ def cut_stage(
     coordinate-carrying UDF pass happens here."""
     lines = lines.select(*_LINE_COLS)
 
-    # one representative per distinct line content (coords equal by digest).
-    # Cached (plain columnar cache — the parent lines pin stays the durable
-    # copy): the splitter-match branch and the final with_split join both
-    # consume reps, and the splitter frame is small enough that the static
-    # planner broadcasts it — each un-cached consumer (including that
-    # broadcast build, which runs in its own job) would re-execute the
-    # distinct-agg over the full line store.
-    reps = pin(
-        lines.groupBy("ldig").agg(
-            F.first("is_ring").alias("is_ring"),
-            F.first("coords").alias("coords"),
-            F.first("x0").alias("x0"),
-            F.first("y0").alias("y0"),
-            F.first("x1").alias("x1"),
-            F.first("y1").alias("y1"),
+    def _distinct_reps() -> DataFrame:
+        """One representative per distinct line content (coords equal by
+        digest). Cached (plain columnar cache — the parent lines pin stays
+        the durable copy): the splitter-match branch and the final
+        with_split join both consume reps; each un-cached consumer would
+        re-execute the distinct-agg over the full line store. The plan is
+        a SortAggregate (first(coords) is not hash-aggregatable): its
+        exchange + sort ALSO serve the downstream consumers — the hash
+        partitioning propagates into the splitter chain (dedup +
+        collect_list run exchange-free) and the sorted, partitioned cache
+        makes the with_split sort-merge join exchange- and sort-free on
+        the coords side. Measured alternatives (dup-free projection +
+        shuffled-hash join; repartition-without-sort) shifted the same
+        coords exchange later and lost the propagation — slower at high
+        parallelism."""
+        return pin(
+            lines.groupBy("ldig").agg(
+                F.first("is_ring").alias("is_ring"),
+                F.first("coords").alias("coords"),
+                F.first("x0").alias("x0"),
+                F.first("y0").alias("y0"),
+                F.first("x1").alias("x1"),
+                F.first("y1").alias("y1"),
+            )
         )
-    )
 
     if junctions is None:
+        # no splitter join downstream, so nothing needs reps' partitioning
+        # or sort order — a duplicate-free corpus (common after upstream
+        # exact-dedup) skips the aggregate entirely: the kernel maps over
+        # the pinned line store in place, zero exchanges in the whole
+        # stage. One narrow digest-only probe decides.
+        has_dups = not (
+            lines.groupBy("ldig")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .isEmpty()
+        )
+        reps = _distinct_reps() if has_dups else lines.select(
+            "ldig", "is_ring", "coords", "x0", "y0", "x1", "y1"
+        )
         with_split = reps.withColumn(
             "splitters", F.lit(None).cast(T.ArrayType(T.ArrayType(T.DoubleType())))
         )  # splitter points stay nested [[x, y], ...]: tiny arrays
         parts = _cut_with_splitters(with_split, path_mode=False)
     elif shared_coords:
+        reps = _distinct_reps()
         # exact vertex equi-join (reference semantics: a junction splits a
         # line only where it IS a vertex, bit-exact — join.py:185-198 keys
         # on raw float tuples)
@@ -217,6 +240,7 @@ def cut_stage(
         with_split = reps.join(splitters, on="ldig", how="left")
         parts = _cut_with_splitters(with_split, path_mode=False)
     else:
+        reps = _distinct_reps()
         # bbox containment join: junction within the line's envelope
         # (np_array_bbox_points_line, ops.py:162-191); grid cells prune
         if bbox is None:
