@@ -130,6 +130,23 @@ def main() -> None:
         fmt(qs["pip_lattice"](spark, SF_DIR)),
     ))
 
+    sections.append((
+        "pack_sequences — distributed exclusive prefix sum",
+        "Expect: ONE range Exchange (repartitionByRange on doc_id) feeding"
+        " an in-partition sort + mapInPandas attach; the only serial step"
+        " (the per-partition totals collect) is O(partitions) rows — NO"
+        " global single-reducer window anywhere.",
+        fmt(qs["pack_sequences"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "quantile_filter — global order statistic without a global sort",
+        "Expect: the SURVIVOR plan is ONE parquet scan with a codegen"
+        " Filter on the bucket expression — ZERO Exchange, no sort, no"
+        " window: the threshold was resolved from a bucket histogram"
+        " (<= grid narrow rows) and baked in as a literal.",
+        fmt(qs["quantile_filter"](spark, SF_DIR)),
+    ))
+
     # pipeline slice: junction detection over a small corpus
     from topojson_spark.operators.extract import (
         extract,
