@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------- helpers
 
 N_LANG = ["en", "de", "fr", "es"]
-STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is"]
+# single source of truth lives beside the Spark-side operators so the
+# DuckDB oracle predicates cannot drift from the engine's list
+from topojson_spark.functions.text import STOPWORDS  # noqa: E402
 
 _NORM_SQL = "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')"
 _TOKS_SQL = (

@@ -313,3 +313,37 @@ def test_quantile_threshold_filter(spark):
         )
         assert sorted(r["doc_id"] for r in out.collect()) == [7, 8, 9]
     assert C.quantile_threshold_filter(df, "score", 1.0, grid=10).count() == 10
+
+
+def test_quantile_threshold_filter_null_scores(spark):
+    """NULL scores are excluded from both the quota and the survivor set —
+    they must neither crash the driver cumsum nor inflate the quota."""
+    df = spark.createDataFrame(
+        [(i, i / 10.0) for i in range(10)] + [(100, None), (101, None)],
+        "doc_id long, score double",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in C.quantile_threshold_filter(df, "score", 0.3, grid=10).collect()
+    )
+    # quota = ceil(0.3 * 10 non-null) = 3, NULL rows never survive
+    assert got == [7, 8, 9]
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, score double"
+    )
+    # degenerate: nothing scoreable -> unchanged input (documented shape)
+    assert C.quantile_threshold_filter(all_null, "score", 0.5).count() == 2
+
+
+def test_quantile_threshold_filter_grid_bounds(spark):
+    """Driver memory is bounded by construction: absurd grids clamp to
+    _GRID_CAP (same survivors — resolution saturates long before), and a
+    non-positive grid raises."""
+    df = spark.createDataFrame(
+        [(i, i / 10.0) for i in range(10)], "doc_id long, score double"
+    )
+    out = C.quantile_threshold_filter(df, "score", 0.3, grid=10**12)
+    assert sorted(r["doc_id"] for r in out.collect()) == [7, 8, 9]
+    with pytest.raises(ValueError):
+        C.quantile_threshold_filter(df, "score", 0.3, grid=0)

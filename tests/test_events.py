@@ -130,6 +130,47 @@ def test_asof_join_single_exchange(asof_tables):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
+def test_asof_join_null_payload_stays_null(spark):
+    """A MATCHED right row with a genuinely NULL payload must yield a NULL
+    asof_value (not an older row's value), and asof_us must come from that
+    same matched row — the struct-carry contract."""
+    from topojson_spark.functions.events import asof_join
+
+    left = spark.createDataFrame(
+        [(10, _ts(20), 1, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(0), 1, 9.0), (101, _ts(15), 1, None)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    row = asof_join(left, right, right_cols=("value",)).collect()[0]
+    # matched row is event 101 (ts 15): its NULL payload stays NULL, and
+    # asof_us is 101's timestamp, not 100's
+    assert row["asof_value"] is None
+    epoch_15min = int(
+        (_ts(15) - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    assert row["asof_us"] == epoch_15min
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A right row with NULL ts cannot satisfy right.ts <= left.ts; it must
+    not be carried as a spurious oldest match."""
+    from topojson_spark.functions.events import asof_join
+
+    left = spark.createDataFrame(
+        [(10, _ts(5), 1, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    right = spark.createDataFrame(
+        [(100, None, 1, 9.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    row = asof_join(left, right, right_cols=("value",)).collect()[0]
+    assert row["asof_value"] is None and row["asof_us"] is None
+
+
 # --------------------------------------------------------------- term stats
 
 

@@ -51,6 +51,11 @@ from pyspark.sql import functions as F
 _HASH_BITS = 60
 _HASH_SPACE = 1 << _HASH_BITS
 
+# quantile_threshold_filter collects its bucket histogram to the driver;
+# the grid is clamped here so driver memory is bounded BY CONSTRUCTION
+# (1e7 buckets is far past useful threshold resolution already).
+_GRID_CAP = 10_000_000
+
 
 def _key_hash(key_col, salt: str = ""):
     """Uniform 60-bit integer from a key column: first 15 hex chars of
@@ -297,9 +302,21 @@ def quantile_threshold_filter(
     driver-side cumsum over that tiny table, and the survivor set is a
     zero-shuffle whole-stage-codegen filter — two passes over the scan,
     zero bytes of document data moved. ``grid`` trades threshold
-    resolution against the histogram's (bounded) size."""
+    resolution against the histogram's (bounded) size and is clamped to
+    ``_GRID_CAP`` (1e7 ≈ a few hundred MB of driver rows at absolute
+    worst) so a caller-supplied huge grid cannot OOM the driver. NULL
+    scores are excluded from both the quota and the survivor set — a NULL
+    can never satisfy ``score >= threshold``, so counting it would
+    silently inflate the quota."""
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    grid = min(int(grid), _GRID_CAP)
     b = F.floor(F.col(score_col) * F.lit(grid)).cast("long")
-    hist = df.groupBy(b.alias("_b")).agg(F.count(F.lit(1)).alias("_c"))
+    hist = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     rows = hist.collect()
     total = sum(r["_c"] for r in rows)
     if total == 0:

@@ -56,6 +56,12 @@ def asof_join(
     """
     lus, rus = _epoch_us(ts_col), _epoch_us(ts_col)
     payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    # A right row with a NULL timestamp can never satisfy right.ts <=
+    # left.ts (the comparison is unknown), so drop it BEFORE the union —
+    # otherwise it would sort nulls-first and be carried as a spurious
+    # "oldest" match. Left rows with NULL ts also sort first and therefore
+    # correctly see no preceding right row (NULL match).
+    right = right.where(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(on),
         rus.alias("_us"),
@@ -79,20 +85,20 @@ def asof_join(
         .orderBy("_us", "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the matched right row as ONE struct so the timestamp and every
+    # payload column always come from the same row: a matched right row
+    # whose payload is genuinely NULL must yield a NULL payload (not an
+    # older row's value). ``last(ignoreNulls)`` skips NULL structs (no
+    # match yet), never NULL fields inside a carried struct.
+    match_struct = F.struct(
+        F.col("_us").alias("us"),
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
     carried = l.unionByName(r).select(
         "*",
-        F.last(F.when(F.col("_side") == 0, F.col("_us")), ignorenulls=True)
+        F.last(F.when(F.col("_side") == 0, match_struct), ignorenulls=True)
         .over(w)
-        .alias(f"{prefix}us"),
-        *[
-            F.last(
-                F.when(F.col("_side") == 0, F.col(f"_r_{c}")),
-                ignorenulls=True,
-            )
-            .over(w)
-            .alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
+        .alias("_match"),
     )
     keep = [
         F.col(f"_l_{t.name}").alias(t.name)
@@ -102,8 +108,8 @@ def asof_join(
     return carried.where(F.col("_side") == 1).select(
         F.col(on),
         *keep,
-        F.col(f"{prefix}us"),
-        *[F.col(f"{prefix}{c}") for c in right_cols],
+        F.col("_match.us").alias(f"{prefix}us"),
+        *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
 
 

@@ -53,6 +53,17 @@ def tokens_col(col):
     return F.filter(F.split(normalized_text(col), r"\s+"), lambda t: t != "")
 
 
+# The ONE stopword list shared by quality_score / source_stats here and by
+# the DuckDB oracle harness (__spark_entry__.py imports it) — a single
+# source of truth so the two engines cannot silently drift.
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+
+
+def _stop_hits(toks):
+    """Count of stopword tokens in a token-array column."""
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
 # ------------------------------------------------------------ bucket caps
 
 
@@ -145,12 +156,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     toks = tokens_col(text)
     n_tokens = F.size(toks)
-    stop_hits = F.size(
-        F.filter(
-            toks,
-            lambda t: t.isin("the", "a", "an", "and", "of", "to", "in", "is"),
-        )
-    )
+    stop_hits = _stop_hits(toks)
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars_q"),
@@ -655,12 +661,7 @@ def source_stats(documents: DataFrame) -> DataFrame:
     wants downstream.
     """
     toks = tokens_col(F.col("text"))
-    stop_hits = F.size(
-        F.filter(
-            toks,
-            lambda t: t.isin("the", "a", "an", "and", "of", "to", "in", "is"),
-        )
-    )
+    stop_hits = _stop_hits(toks)
     return (
         documents.select(
             "source",

@@ -27,6 +27,7 @@ extract order; dense ids are minted only at write time.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -65,11 +66,20 @@ _SUMMARY_COLS = ["fx", "fy", "lx", "ly", "shl"]
 
 def part_summary(part: np.ndarray) -> tuple:
     """(fx, fy, lx, ly, shl) for an (n, 2) part — the open-chain shoelace
-    pairs with reference ops.py:338-357 (see hashmap.backward_arcs_core)."""
+    pairs with reference ops.py:338-357 (see hashmap.backward_arcs_core).
+
+    ``shl`` feeds a SIGN test (``total/2 >= 0`` in hashmap._resolve_orient),
+    so its rounding must not depend on accumulation order. The per-segment
+    cross terms are summed with ``math.fsum`` — correctly rounded
+    independent of term order — rather than a difference of two dot
+    products (whose BLAS-chosen reduction order could flip a near-zero
+    stitched-ring area). Parity with the reference's np.roll shoelace is
+    analytic; fsum makes this side the MORE stable of the two.
+    """
     x = part[:, 0]
     y = part[:, 1]
     shl = (
-        float(x[:-1] @ y[1:]) - float(x[1:] @ y[:-1])
+        math.fsum((x[:-1] * y[1:] - x[1:] * y[:-1]).tolist())
         if len(part) >= 2
         else 0.0
     )

@@ -34,6 +34,12 @@ from ..functions import kernels as K
 from ..options import TopoOptions
 from ..plans.pin import pin
 
+# Cap on candidate-pair scratch cells per enumeration step inside one
+# grid-cell group of the cellgrouped junction engine (~4M cells: ~32 MB
+# of int64 index arrays / 4 MB of bools at peak). A dense hot cell with
+# k lines therefore costs O(_PAIR_BLOCK) memory, never O(k^2).
+_PAIR_BLOCK = 1 << 22
+
 COORDS_T = T.ArrayType(T.DoubleType())  # flat interleaved x,y
 
 # flat-coords SQL helpers: x / y streams of an interleaved coords column
@@ -416,10 +422,25 @@ def junctions_path_connected_cellgrouped(
        arithmetic is the same IEEE-double expression the JVM explode
        evaluated, so the assignment is bit-exact on both sides.
 
+    Skew bound: a single hot cell with k co-located lines still enumerates
+    O(k^2) candidate PAIRS (that is the problem statement), but scratch
+    memory is capped at O(_PAIR_BLOCK) by blocked triangular enumeration —
+    a 1e5-line cell costs ~4 MB of mask scratch, not ~80 GB of
+    triu_indices. Wall-time skew from such a cell remains; corpora built
+    from genuinely giant/dense geometry auto-escalate to the
+    ``relational`` engine (segment-level parallelism), and
+    SPARK_GRAFT_JUNCTION_ENGINE=pairwise|relational is the explicit
+    escape hatch.
+
     Returns distinct (jx, jy).
     """
     cell = _cell_size(bbox, cell)
     bx, by = bbox[0], bbox[1]
+    # captured by VALUE into the Arrow closure (driver-side read), so the
+    # env override reaches executors and tests can force the blocked path
+    pair_block = int(
+        os.environ.get("SPARK_GRAFT_PAIR_BLOCK", _PAIR_BLOCK)
+    )
 
     rep_ids = lines_with_lid.groupBy("pdig").agg(F.min("lid").alias("lid"))
     # broadcast is right up to ~10^8 distinct paths (8B ids); beyond that
@@ -479,37 +500,63 @@ def junctions_path_connected_cellgrouped(
                     continue
                 gx0, gy0 = x0[s:e], y0[s:e]
                 gx1, gy1 = x1[s:e], y1[s:e]
-                i, j = np.triu_indices(k, 1)
-                ov = (
-                    (gx0[i] <= gx1[j]) & (gx0[j] <= gx1[i])
-                    & (gy0[i] <= gy1[j]) & (gy0[j] <= gy1[i])
-                )
-                if not ov.any():
-                    continue
-                i, j = i[ov], j[ov]
-                # canonical-cell ownership: bit-identical to the JVM explode
-                ccx = np.floor((np.maximum(gx0[i], gx0[j]) - bx) / cell)
-                ccy = np.floor((np.maximum(gy0[i], gy0[j]) - by) / cell)
-                own = (ccx == cxv[s]) & (ccy == cyv[s])
-                if not own.any():
-                    continue
-                i, j = i[own], j[own]
-                arrs: dict = {}
                 glid = lid[s:e]
-                for ii, jj in zip(i.tolist(), j.tolist()):
-                    # kernel arg order pinned to lid order (endpoint sets
-                    # are symmetric; this keeps raw emission byte-stable)
-                    if glid[jj] < glid[ii]:
-                        ii, jj = jj, ii
-                    a = arrs.get(ii)
-                    if a is None:
-                        a = arrs[ii] = K.as_np(coords[s + ii])
-                    b = arrs.get(jj)
-                    if b is None:
-                        b = arrs[jj] = K.as_np(coords[s + jj])
-                    segs = K.line_pair_shared_segments(a, b)
-                    if len(segs):
-                        pts.append(K.shared_chain_endpoints(segs))
+                arrs: dict = {}
+
+                def run_pairs(i: np.ndarray, j: np.ndarray) -> None:
+                    # canonical-cell ownership: bit-identical to the JVM
+                    # explode (same IEEE-double floor expression)
+                    ccx = np.floor((np.maximum(gx0[i], gx0[j]) - bx) / cell)
+                    ccy = np.floor((np.maximum(gy0[i], gy0[j]) - by) / cell)
+                    own = (ccx == cxv[s]) & (ccy == cyv[s])
+                    if not own.any():
+                        return
+                    for ii, jj in zip(i[own].tolist(), j[own].tolist()):
+                        # kernel arg order pinned to lid order (endpoint
+                        # sets are symmetric; keeps raw emission
+                        # byte-stable)
+                        if glid[jj] < glid[ii]:
+                            ii, jj = jj, ii
+                        a = arrs.get(ii)
+                        if a is None:
+                            a = arrs[ii] = K.as_np(coords[s + ii])
+                        b = arrs.get(jj)
+                        if b is None:
+                            b = arrs[jj] = K.as_np(coords[s + jj])
+                        segs = K.line_pair_shared_segments(a, b)
+                        if len(segs):
+                            pts.append(K.shared_chain_endpoints(segs))
+
+                if k * (k - 1) // 2 <= pair_block:
+                    i, j = np.triu_indices(k, 1)
+                    ov = (
+                        (gx0[i] <= gx1[j]) & (gx0[j] <= gx1[i])
+                        & (gy0[i] <= gy1[j]) & (gy0[j] <= gy1[i])
+                    )
+                    if ov.any():
+                        run_pairs(i[ov], j[ov])
+                else:
+                    # Hot-cell path: a dense cell with k lines must NOT
+                    # materialize O(k^2) index arrays in one Python task
+                    # (k=1e5 would be ~80 GB of int64). Enumerate the
+                    # triangle in row blocks of ~pair_block candidate
+                    # cells each — O(block*k) scratch, same total work,
+                    # identical pair set and emission order (row-major
+                    # triangle order, exactly what triu_indices yields).
+                    ar = np.arange(k)
+                    blk = max(1, pair_block // k)
+                    for b0 in range(0, k - 1, blk):
+                        bi = ar[b0:min(b0 + blk, k - 1)]
+                        ov = (
+                            (gx0[bi][:, None] <= gx1[None, :])
+                            & (gx0[None, :] <= gx1[bi][:, None])
+                            & (gy0[bi][:, None] <= gy1[None, :])
+                            & (gy0[None, :] <= gy1[bi][:, None])
+                            & (ar[None, :] > bi[:, None])
+                        )
+                        if ov.any():
+                            ii, jj = np.nonzero(ov)
+                            run_pairs(bi[ii], jj)
             return pts
 
         def emit(pts: list) -> pd.DataFrame:
