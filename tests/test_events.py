@@ -171,6 +171,86 @@ def test_asof_join_null_right_ts_never_matches(spark):
     assert row["asof_value"] is None and row["asof_us"] is None
 
 
+def test_asof_join_bucketed_matches_plain(spark):
+    """The skew escape hatch must be bit-equivalent to asof_join on a
+    corpus that exercises every seam: matches carried within a bucket,
+    across one bucket, across several empty buckets, NULL payloads,
+    equal-timestamp ties, and unmatched leads."""
+    import random
+
+    from topojson_spark.functions.events import asof_join, asof_join_bucketed
+
+    rnd = random.Random(11)
+    lrows, rrows = [], []
+    eid = 0
+    for u in (1, 2, 3):
+        for _ in range(60):
+            eid += 1
+            lrows.append((eid, _ts(rnd.randrange(0, 600)), u, float(eid)))
+        for _ in range(25):
+            eid += 1
+            val = None if rnd.random() < 0.3 else float(eid)
+            rrows.append((eid, _ts(rnd.randrange(0, 600)), u, val))
+    # tie pair at one timestamp + a right row far before everything
+    rrows += [(9001, _ts(300), 1, 77.0), (9002, _ts(300), 1, 88.0)]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    left = spark.createDataFrame(lrows, schema)
+    right = spark.createDataFrame(rrows, schema)
+
+    def key(r):
+        return (r["user_id"], r["event_id"], r["asof_us"], r["asof_value"])
+
+    want = sorted(map(key, asof_join(left, right).collect()))
+    for bucket in (7, 60, 1440):
+        got = sorted(
+            map(
+                key,
+                asof_join_bucketed(
+                    left, right, bucket_minutes=bucket
+                ).collect(),
+            )
+        )
+        assert got == want, f"bucket_minutes={bucket} diverged"
+
+
+def test_asof_join_bucketed_windows_partition_on_bucket(spark, asof_tables):
+    """The whole point of the hatch: no window in the plan partitions on
+    the bare key — every row-level window key includes the time bucket, so
+    a hot key subdivides."""
+    from topojson_spark.functions.events import asof_join_bucketed
+
+    left, right = asof_tables
+    plan = (
+        asof_join_bucketed(left, right)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    # the row-level union window (the one producing _match) must list
+    # _bucket among its partition keys; the only key-partitioned window
+    # is the bucket-spine carry (_carry, O(buckets) rows)
+    row_windows = re.findall(
+        r"Window \[last\([^\]]*AS _match[^\]]*\], \[([^\]]*)\]", plan
+    )
+    assert row_windows and all("_bucket" in w for w in row_windows), plan
+    carry_windows = re.findall(
+        r"Window \[last\([^\]]*AS _carry[^\]]*\], \[([^\]]*)\]", plan
+    )
+    assert len(carry_windows) == 1 and "_bucket" not in carry_windows[0]
+
+
+def test_asof_hot_key_audit(spark, asof_tables):
+    from topojson_spark.functions.events import asof_hot_key_audit
+
+    left, right = asof_tables
+    hot = asof_hot_key_audit(left, right, threshold=3).collect()
+    # user 1: 3 left + 3 right = 6 > 3; users 2/3 have 2 rows each
+    assert [(r["user_id"], r["n_left"], r["n_right"]) for r in hot] == [
+        (1, 3, 3)
+    ]
+    assert asof_hot_key_audit(left, right, threshold=100).count() == 0
+
+
 # --------------------------------------------------------------- term stats
 
 

@@ -103,6 +103,55 @@ def test_ivf_topk_probe_recall(spark):
     ]
 
 
+def test_ivf_persisted_probe_is_partition_pruned(spark, tmp_path):
+    """The 100 TB probe path, demonstrated end-to-end: the IVF assignment
+    is persisted partitionBy(centroid_id) via sources.tables.write_table,
+    the probe reads it back with an isin(probes) filter, and the scan's
+    PartitionFilters prove Spark lists ONLY the probed inverted lists —
+    n_probe/n_centroids of the store, not a full scan. Results must equal
+    the in-memory ivf_topk exactly."""
+    from topojson_spark.sources.tables import write_table
+
+    rng = np.random.default_rng(9)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    vecs = np.vstack([
+        c + 0.1 * rng.standard_normal((30, 8)) for c in centers
+    ])
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    store = str(tmp_path / "ivf_store")
+    write_table(
+        S.ivf_assign(df, centers.tolist()),
+        store,
+        partition_by=["centroid_id"],
+    )
+    # one partition directory per inverted list
+    import os
+
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("centroid_id=")
+    ) == ["centroid_id=0", "centroid_id=1", "centroid_id=2"]
+
+    q = (centers[0] + 0.05).tolist()
+    probed = S.ivf_topk_persisted(
+        spark, store, centers.tolist(), q, k=5, n_probe=1
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the probe filter reached the scan as a PARTITION filter (directory
+    # pruning), not a post-scan predicate over all rows
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "centroid_id" in pf, f"probe not pushed to partition level: {pf}"
+
+    want = S.ivf_topk(df, centers.tolist(), q, k=5, n_probe=1).collect()
+    got = probed.collect()
+    assert [(r["vec_id"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["rank"]) for r in want
+    ]
+
+
 def test_netpbm_decode_is_real(spark):
     """P5/P6 payloads take the REAL decode path: exact header parse,
     raster read, and integer BT.601 luminance — verified byte-for-byte

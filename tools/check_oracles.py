@@ -3,6 +3,7 @@ on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, sorted
 schema, and an order-insensitive value hash."""
 
 import hashlib
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -51,10 +51,54 @@ junctions.count()
 
 t = {{}}
 T0 = time.time()
-parts, line_refs = C.cut_stage(lines0, junctions, False, bbox=bbox, cell=cell)
+
+# --- replay cut_stage's path-connected branch step by step ---
+lines_c = lines0.select(*C._LINE_COLS)
+
+t0 = time.time()
+reps = pin(lines_c.groupBy("ldig").agg(
+    F.first("is_ring").alias("is_ring"),
+    F.first("coords").alias("coords"),
+    F.first("x0").alias("x0"), F.first("y0").alias("y0"),
+    F.first("x1").alias("x1"), F.first("y1").alias("y1")))
+reps.count()
+t["reps_agg"] = time.time() - t0
+
+span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
+cellc = cell if cell and cell > 0 else (span / 64 if span > 0 else 1.0)
+if span > 0:
+    cellc = max(cellc, span / 4096)
+from topojson_spark.operators.join import _with_bbox_cells
+lcells = _with_bbox_cells(
+    reps.selectExpr("ldig as lid", "x0", "y0", "x1", "y1"), bbox, cellc)
+jcells = junctions.select(
+    "jx", "jy",
+    F.floor((F.col("jx") - F.lit(bbox[0])) / F.lit(cellc)).alias("cx"),
+    F.floor((F.col("jy") - F.lit(bbox[1])) / F.lit(cellc)).alias("cy"))
+matched = (lcells.join(jcells, on=["cx", "cy"])
+           .where((F.col("jx") >= F.col("x0")) & (F.col("jx") <= F.col("x1"))
+                  & (F.col("jy") >= F.col("y0")) & (F.col("jy") <= F.col("y1")))
+           .select(F.col("lid").alias("ldig"), "jx", "jy")
+           .dropDuplicates(["ldig", "jx", "jy"]))
+splitters = matched.groupBy("ldig").agg(
+    F.collect_list(F.array("jx", "jy")).alias("splitters"))
+
+t0 = time.time()
+with_split = reps.join(splitters, on="ldig", how="left")
+parts_raw = C._cut_with_splitters(with_split, path_mode=True)
+parts = pin_truncate(parts_raw)
 n_parts = parts.count()
+t["splitjoin+kernel+pin"] = time.time() - t0
+
 t["cut_stage_total"] = time.time() - T0
 t["n_parts"] = int(n_parts)
+
+# one more read of the pinned store, narrow columns only: what dedup's
+# flag pipeline pays per pass over the checkpoint
+t0 = time.time()
+parts.select("ldig", "split_seq", "pdig").groupBy().count().collect()
+t["narrow_rescan"] = time.time() - t0
+
 print(json.dumps({{"cpus": cpus, "steps": t}}))
 """
 

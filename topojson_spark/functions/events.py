@@ -113,6 +113,167 @@ def asof_join(
     )
 
 
+def asof_hot_key_audit(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    threshold: int = 1_000_000,
+    metrics=None,
+) -> DataFrame:
+    """Audit for :func:`asof_join`'s documented skew hazard: one narrow
+    count per key per side, returning the keys whose combined row count
+    exceeds ``threshold`` (the scale where a single window partition's
+    task becomes the straggler). Feed those corpora to
+    :func:`asof_join_bucketed` instead. When ``metrics`` is given, the
+    hot-key count is recorded (mirrors decontaminate's build-side
+    record)."""
+    counts = (
+        left.groupBy(on).agg(F.count(F.lit(1)).alias("n_left"))
+        .join(
+            right.groupBy(on).agg(F.count(F.lit(1)).alias("n_right")),
+            on=on,
+            how="outer",
+        )
+        .select(
+            on,
+            F.coalesce("n_left", F.lit(0)).alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).alias("n_right"),
+        )
+        .where(F.col("n_left") + F.col("n_right") > threshold)
+    )
+    if metrics is not None:
+        metrics.record(
+            "asof_hot_keys", n_hot=counts.count(), threshold=threshold
+        )
+    return counts
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("value",),
+    tiebreak: str = "event_id",
+    prefix: str = "asof_",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """:func:`asof_join` semantics (same output, bit-for-bit) with the
+    hot-key escape hatch: windows partition on (key, TIME BUCKET) instead
+    of the key alone, so a pathologically hot key's rows split across
+    ceil(span/bucket) independent tasks instead of serializing in one.
+
+    Decomposition: a left row's match is either (a) the latest right row
+    in its OWN bucket with right.ts <= left.ts — the same union+window
+    carry as asof_join, now partitioned by (key, bucket) — or, when the
+    bucket has no earlier right row, (b) the latest right row of any
+    EARLIER bucket: a per-(key, bucket) max aggregate (map-side
+    combinable) carried forward by a window over the (tiny) bucket spine,
+    joined back on (key, bucket). ``coalesce`` of the two struct carries
+    preserves the single-matched-row contract (us and payload always from
+    one row; genuine NULL payloads stay NULL).
+
+    Cost: three exchanges (vs asof_join's one) — the union window on
+    (key, bucket), the bucket-spine aggregate, and the carry-in join —
+    all on keys that subdivide hot keys. Use asof_join by default; switch
+    when :func:`asof_hot_key_audit` flags keys, sizing ``bucket_minutes``
+    so a single (key, bucket) group fits a task comfortably.
+    """
+    bucket_us = int(bucket_minutes) * 60 * 1_000_000
+    right = right.where(F.col(ts_col).isNotNull())
+    payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    r = right.select(
+        F.col(on),
+        _epoch_us(ts_col).alias("_us"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tie"),
+        *payload,
+        *[F.lit(None).cast(t.dataType).alias(f"_l_{t.name}")
+          for t in left.schema.fields],
+    ).withColumn("_bucket", F.floor(F.col("_us") / F.lit(bucket_us)))
+    l = left.select(
+        F.col(on),
+        _epoch_us(ts_col).alias("_us"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+        *[F.col(t.name).alias(f"_l_{t.name}") for t in left.schema.fields],
+    ).withColumn("_bucket", F.floor(F.col("_us") / F.lit(bucket_us)))
+
+    match_struct = F.struct(
+        F.col("_us").alias("us"),
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+    # (a) within-bucket carry — asof_join's window, partitioned finer
+    wb = (
+        Window.partitionBy(on, "_bucket")
+        .orderBy("_us", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        F.last(F.when(F.col("_side") == 0, match_struct), ignorenulls=True)
+        .over(wb)
+        .alias("_match"),
+    )
+
+    # (b) cross-bucket carry-in over the bucket SPINE (one row per
+    # (key, bucket) seen on either side — O(buckets), not O(rows)).
+    # _best orders by (us, tie) first, so max() picks exactly the row the
+    # within-bucket window would have carried out of that bucket.
+    best_struct = F.struct(
+        F.col("_us").alias("us"),
+        F.col("_tie").alias("tie"),
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+    rb = r.groupBy(on, "_bucket").agg(F.max(best_struct).alias("_best"))
+    spine = (
+        l.select(on, "_bucket").distinct()
+        .unionByName(rb.select(on, "_bucket"))
+        .distinct()
+        .join(rb, on=[on, "_bucket"], how="left")
+    )
+    wc = (
+        Window.partitionBy(on)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.select(
+        on,
+        "_bucket",
+        F.last("_best", ignorenulls=True).over(wc).alias("_carry"),
+    )
+
+    carry_as_match = F.when(
+        F.col("_carry").isNotNull(),
+        F.struct(
+            F.col("_carry.us").alias("us"),
+            *[F.col(f"_carry.{c}").alias(c) for c in right_cols],
+        ),
+    )
+    keep = [
+        F.col(f"_l_{t.name}").alias(t.name)
+        for t in left.schema.fields
+        if t.name != on
+    ]
+    return (
+        carried.where(F.col("_side") == 1)
+        .join(carry, on=[on, "_bucket"], how="left")
+        .select(
+            F.col(on),
+            *keep,
+            F.coalesce(F.col("_match"), carry_as_match).alias("_m"),
+        )
+        .select(
+            F.col(on),
+            *[t.name for t in left.schema.fields if t.name != on],
+            F.col("_m.us").alias(f"{prefix}us"),
+            *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

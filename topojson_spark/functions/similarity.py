@@ -239,12 +239,47 @@ def ivf_topk(
     is ``cosine_topk``'s TakeOrderedAndProject. Deterministic given
     (centroids, query) — reproducible by any engine, see the DuckDB oracle.
     """
+    probes = ivf_probes(centroids, query, n_probe)
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    cand = assigned.where(F.col("centroid_id").isin(probes))
+    return cosine_topk(cand, query, k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_probes(
+    centroids: List[Sequence[float]], query: Sequence[float], n_probe: int
+) -> List[int]:
+    """The ``n_probe`` centroid ids nearest the query — driver-side numpy
+    over the (tiny) centroid table; stable argsort so ties are
+    deterministic across engines."""
     q = np.asarray(query, dtype=np.float64)
     cents = np.asarray([list(map(float, c)) for c in centroids])
     d2 = ((cents - q) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
-    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    cand = assigned.where(F.col("centroid_id").isin(probes))
+    return [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+
+
+def ivf_topk_persisted(
+    spark,
+    source: str,
+    centroids: List[Sequence[float]],
+    query: Sequence[float],
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a PERSISTED assignment table (written once with
+    ``sources.tables.write_table(..., partition_by=["centroid_id"])``).
+
+    This is the 100 TB probe path the ivf_topk docstring promises: because
+    the store is partitioned by centroid_id, the ``isin(probes)`` filter
+    becomes a PARTITION filter at the scan — Spark lists only the probed
+    directories and reads n_probe/n_centroids of the corpus; nothing else
+    is opened (tests assert PartitionFilters in the plan). The ranking is
+    identical to :func:`ivf_topk` on the in-memory assignment."""
+    from ..sources.tables import read_table
+
+    probes = ivf_probes(centroids, query, n_probe)
+    cand = read_table(spark, source).where(F.col("centroid_id").isin(probes))
     return cosine_topk(cand, query, k, id_col=id_col, vec_col=vec_col)
 
 
