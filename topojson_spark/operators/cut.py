@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import kernels as K
-from ..plans.pin import pin, pin_truncate
+from ..plans.pin import pin, pin_stage
 
 PARTS_SCHEMA = T.StructType(
     [
@@ -295,8 +295,12 @@ def cut_stage(
 
     # pin the distinct-arc table: it is read by refs expansion, dedup digest
     # and the kept-coords lookup; without the pin every consumer re-runs the
-    # whole digest+splitter+split cascade
-    parts = pin_truncate(parts)
+    # whole digest+splitter+split cascade. Columnar by default (pin_stage):
+    # dedup's flag chain reads this store twice digest-only and once with
+    # coords, and InMemoryRelation column pruning makes the narrow passes
+    # skip the coords batches entirely — a row-format checkpoint block
+    # decodes full rows on every scan (rationale + measurements: pin_stage).
+    parts = pin_stage(parts)
     line_refs = lines.drop("coords", "x0", "y0", "x1", "y1")
     return parts, line_refs
 

@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 
 from ..functions import kernels as K
 from ..plans.ids import dense_index
-from ..plans.pin import pin, pin_truncate
+from ..plans.pin import pin, pin_stage, pin_truncate
 from .cut import _SUMMARY_COLS, part_summary
 
 _POS = ["feature_seq", "unit_seq", "ring_seq", "split_seq"]
@@ -373,8 +373,10 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     )
     # pinned HERE, once: both the pmap summary join below and every
     # downstream consumer (Topology.arcs, exports) read this same store —
-    # pinning later would compute the survivor join + dense ranking twice
-    arcs_final = pin_truncate(
+    # pinning later would compute the survivor join + dense ranking twice.
+    # Columnar (pin_stage): the pmap join below reads everything EXCEPT
+    # coords; only the export consumers touch the coords batches.
+    arcs_final = pin_stage(
         arcs_final.select(
             "kept", "final_idx", "is_shared", "coords", *_SUMMARY_COLS
         )

@@ -413,12 +413,19 @@ def extract(
         unified_emit(options.winding_order), schema=UNIFIED_SCHEMA
     )
     if not unified.isStreaming:
-        # pin + lineage-truncate the unified parse so every downstream
-        # branch (lines / points / features) reads the parse output instead
-        # of re-parsing JSON, and downstream plan analysis stays O(stage)
-        from ..plans.pin import pin_truncate
+        # pin the unified parse so every downstream branch (lines / points /
+        # features) reads the parse output instead of re-parsing JSON.
+        # Columnar by default (pin_stage): the store is WIDE (coords +
+        # template/properties strings) but most consumers are narrow — the
+        # bbox aggregate reads four envelope doubles, line_refs reads no
+        # coords at all, the features branch reads only template/properties
+        # — and InMemoryRelation column pruning skips the unread batches,
+        # where a row-format checkpoint block decodes full rows per scan.
+        # The parse subtree is shallow (scan -> mapInPandas), so keeping
+        # lineage costs near-nothing in re-analysis.
+        from ..plans.pin import pin_stage
 
-        unified = pin_truncate(unified)
+        unified = pin_stage(unified)
     if metrics is not None and not unified.isStreaming:
         # observed AFTER the lineage truncation: a CollectMetrics node below
         # a checkpoint boundary never publishes (the RDD materialization is
