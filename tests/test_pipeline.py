@@ -448,12 +448,12 @@ def test_svg_and_geo_interface(spark):
         t.to_alt()
 
 
-def test_topology_stage_pin_checkpoint_hatch(spark, monkeypatch):
-    """SPARK_GRAFT_STAGE_PIN=checkpoint (the lineage-truncating form of the
+def test_topology_stage_pin_columnar_hatch(spark, monkeypatch):
+    """SPARK_GRAFT_STAGE_PIN=columnar (the column-pruning A/B form of the
     wide stage pins: extract.unified, cut.parts, dedup.arcs_final) must
-    produce the identical topology as the default columnar pin — the hatch
-    exists for fan-out-heavy drivers where re-analysis cost outweighs
-    column pruning."""
+    produce the identical topology as the default checkpoint pin — the
+    hatch is kept as the measured alternative (see pin_stage docstring for
+    why checkpoint won the pipeline-level A/B)."""
     data = {
         "abc": {
             "type": "Polygon",
@@ -465,6 +465,6 @@ def test_topology_stage_pin_checkpoint_hatch(spark, monkeypatch):
         },
     }
     want = Topology(data, spark=spark).to_dict()
-    monkeypatch.setenv("SPARK_GRAFT_STAGE_PIN", "checkpoint")
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_PIN", "columnar")
     got = Topology(data, spark=spark).to_dict()
     assert got == want

@@ -295,11 +295,10 @@ def cut_stage(
 
     # pin the distinct-arc table: it is read by refs expansion, dedup digest
     # and the kept-coords lookup; without the pin every consumer re-runs the
-    # whole digest+splitter+split cascade. Columnar by default (pin_stage):
-    # dedup's flag chain reads this store twice digest-only and once with
-    # coords, and InMemoryRelation column pruning makes the narrow passes
-    # skip the coords batches entirely — a row-format checkpoint block
-    # decodes full rows on every scan (rationale + measurements: pin_stage).
+    # whole digest+splitter+split cascade. pin_stage = checkpoint by
+    # default; the columnar-cache alternative (narrow consumers could
+    # prune the coords batches) was measured and rejected at pipeline
+    # level — see pin_stage's docstring for both sides of the A/B.
     parts = pin_stage(parts)
     line_refs = lines.drop("coords", "x0", "y0", "x1", "y1")
     return parts, line_refs

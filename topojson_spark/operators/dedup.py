@@ -374,8 +374,8 @@ def dedup_stage(parts: DataFrame, line_refs: DataFrame):
     # pinned HERE, once: both the pmap summary join below and every
     # downstream consumer (Topology.arcs, exports) read this same store —
     # pinning later would compute the survivor join + dense ranking twice.
-    # Columnar (pin_stage): the pmap join below reads everything EXCEPT
-    # coords; only the export consumers touch the coords batches.
+    # pin_stage = checkpoint by default (columnar measured + rejected at
+    # pipeline level; see its docstring).
     arcs_final = pin_stage(
         arcs_final.select(
             "kept", "final_idx", "is_shared", "coords", *_SUMMARY_COLS

@@ -414,15 +414,10 @@ def extract(
     )
     if not unified.isStreaming:
         # pin the unified parse so every downstream branch (lines / points /
-        # features) reads the parse output instead of re-parsing JSON.
-        # Columnar by default (pin_stage): the store is WIDE (coords +
-        # template/properties strings) but most consumers are narrow — the
-        # bbox aggregate reads four envelope doubles, line_refs reads no
-        # coords at all, the features branch reads only template/properties
-        # — and InMemoryRelation column pruning skips the unread batches,
-        # where a row-format checkpoint block decodes full rows per scan.
-        # The parse subtree is shallow (scan -> mapInPandas), so keeping
-        # lineage costs near-nothing in re-analysis.
+        # features) reads the parse output instead of re-parsing JSON, and
+        # downstream plan analysis stays O(stage). pin_stage = checkpoint
+        # by default; the columnar-cache alternative was measured and
+        # rejected at pipeline level (see pin_stage's docstring).
         from ..plans.pin import pin_stage
 
         unified = pin_stage(unified)

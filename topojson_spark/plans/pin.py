@@ -84,28 +84,31 @@ def pin_truncate(df: DataFrame) -> DataFrame:
 
 
 def pin_stage(df: DataFrame) -> DataFrame:
-    """Stage pin for WIDE outputs (a coords/template column) whose
-    downstream consumers are mostly NARROW. Defaults to the SQL COLUMNAR
-    cache instead of ``pin_truncate``'s row-format LogicalRDD:
-    InMemoryRelation supports column pruning, so a digest-only read
-    decompresses only the digest batches, whereas every scan of a
-    row-format checkpoint block decodes full rows — coords included — no
-    matter how few columns the consumer asked for. Measured 4->16-core
-    cut-stage efficiency on the 160k-doc profile corpus: 0.73 columnar vs
-    0.62 checkpoint (tools/profile_cut.py), faster absolute 16-core leg.
+    """Pin for the three WIDE stage outputs (extract.unified, cut.parts,
+    dedup.arcs_final). Default: ``pin_truncate`` (row-format checkpoint +
+    lineage truncation). SPARK_GRAFT_STAGE_PIN=columnar switches them to
+    the SQL columnar cache — an A/B hatch kept because the hypothesis is
+    attractive and was MEASURED BOTH WAYS (round 5):
 
-    Tradeoff: lineage is NOT truncated, so each consumer re-analyzes the
-    upstream subtree (driver-side, O(plan)) — right for boundaries with a
-    handful of consumers over a shallow subtree (the three wide stage
-    outputs: extract.unified, cut.parts, dedup.arcs_final), wrong for
-    fan-outs of dozens. SPARK_GRAFT_STAGE_PIN=checkpoint restores the
-    truncating pin everywhere; ``durable_stage_checkpoints`` scopes
-    upgrade either form to parquet."""
-    if os.environ.get("SPARK_GRAFT_STAGE_PIN", "columnar") == "checkpoint":
-        return pin_truncate(df)
-    if getattr(_ctx, "root", None) and not df.isStreaming:
-        return _pin_durable(df)
-    return pin(df)
+    - For it: InMemoryRelation supports column pruning — narrow consumers
+      of a wide store skip the coords/template batches, and the isolated
+      cut-stage replay improved (4->16 efficiency 0.62 -> 0.73,
+      tools/profile_cut.py, 160k docs).
+    - Against it, decisively: at PIPELINE level the un-truncated lineage
+      triples the downstream stage count (every dedup/hashmap action
+      re-executes the exchanges between the cache and its own output,
+      where a checkpoint's ExistingRDD had frozen them) — measured
+      dedup+hashmap at 20k docs/local[16]: 33 stages / 120 task-seconds
+      (checkpoint) vs 99 stages / 439 task-seconds (columnar), 3x wall.
+      The per-scan decode saving never comes close to paying for the
+      re-executed exchanges.
+
+    ``durable_stage_checkpoints`` scopes upgrade either form to parquet."""
+    if os.environ.get("SPARK_GRAFT_STAGE_PIN", "checkpoint") == "columnar":
+        if getattr(_ctx, "root", None) and not df.isStreaming:
+            return _pin_durable(df)
+        return pin(df)
+    return pin_truncate(df)
 
 
 def release_pins(spark) -> int:
