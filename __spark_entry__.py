@@ -576,6 +576,60 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_bucketed(spark, sf_dir):
+    """The as-of join's hot-key escape hatch (windows partition on
+    (key, time bucket) so a pathological key subdivides across tasks) —
+    contractually bit-equal to asof_join, so it shares asof_join's DuckDB
+    ASOF oracle verbatim: the strongest possible equivalence check."""
+    from topojson_spark.functions.events import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join_bucketed(
+        left, right, right_cols=("value",), bucket_minutes=60
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.expr(_US_SQL).alias("us"),
+        "value",
+        "asof_us",
+        "asof_value",
+    )
+
+
+def q_ivf_topk_persisted(spark, sf_dir):
+    """IVF probe over a PERSISTED assignment store partitioned by
+    centroid_id (the 100 TB probe path: the isin(probes) filter becomes a
+    directory-pruning PartitionFilter at the scan). Shares ivf_topk's
+    oracle — the store is written once per (sf_dir) from the same
+    embeddings table, then only the probed partitions are read."""
+    import hashlib as _hl
+    import os as _os
+
+    from topojson_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk_persisted,
+    )
+    from topojson_spark.sources.tables import write_table
+
+    store = "/tmp/ivf_store_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
+    if not _os.path.exists(_os.path.join(store, "_SUCCESS")):
+        emb = _t(spark, sf_dir, "embeddings")
+        write_table(
+            ivf_assign(emb, CENTROIDS), store, partition_by=["centroid_id"]
+        )
+    out = ivf_topk_persisted(spark, store, CENTROIDS, QVEC, k=10, n_probe=2)
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim_r"), "rank"
+    )
+
+
 def q_term_stats(spark, sf_dir):
     """Corpus vocabulary (document frequency + term frequency, df >= 2):
     the two-level word-count whose exchange carries one tuple per
@@ -862,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "source_filter": q_source_filter,
         "asof_join": q_asof_join,
+        "asof_join_bucketed": q_asof_join_bucketed,
+        "ivf_topk_persisted": q_ivf_topk_persisted,
         "term_stats": q_term_stats,
         "sessionize": q_sessionize,
         "knn_grid": q_knn,
@@ -982,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
     )"""
 
-    return {
+    d = {
         "bounds_agg": """
             SELECT min(value) AS min_value, max(value) AS max_value,
                    count(*) AS n FROM events""",
@@ -1680,3 +1736,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN len(s.coords) // 2 ELSE -1 END AS n_points
             FROM s FULL OUTER JOIN o ON s.final_idx = o.final_idx""",
     }
+    # bit-equal-by-contract variants share their base operator's oracle
+    # verbatim — the strongest equivalence statement the gate can make
+    d["asof_join_bucketed"] = d["asof_join"]
+    d["ivf_topk_persisted"] = d["ivf_topk"]
+    return d

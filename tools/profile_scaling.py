@@ -134,11 +134,25 @@ def main():
         n = int(os.environ["N_CORES"])
         pairs = [(n, 4 * n)]
     repeats = int(os.environ.get("REPEATS", "1"))
+
+    def best_stages(cpus: int) -> dict:
+        """Per-stage MIN across repeats: single-run per-stage timings on
+        this VM swing up to 2x from GC/JIT/neighbor noise on identical
+        plans (observed 12-29 s for the same 16-core cut leg), and the
+        min is the standard noise-floor estimator of a stage's true cost.
+        All raw runs are printed for the record."""
+        runs = [run_once(cpus, corpus_path) for _ in range(repeats)]
+        for r in runs:
+            print(json.dumps({"raw": r, "cpus": cpus}))
+        best = dict(runs[0])
+        best["stages"] = {
+            k: min(r["stages"][k] for r in runs) for k in runs[0]["stages"]
+        }
+        return best
+
     for n_small, n_big in pairs:
-        rs = min((run_once(n_small, corpus_path) for _ in range(repeats)),
-                 key=lambda r: r["stages"]["TOTAL"])
-        rb = min((run_once(n_big, corpus_path) for _ in range(repeats)),
-                 key=lambda r: r["stages"]["TOTAL"])
+        rs = best_stages(n_small)
+        rb = best_stages(n_big)
         print(f"\n== {n_small} -> {n_big} cores, {n_docs} docs ==")
         print(f"{'stage':<14}{'N sec':>9}{'4N sec':>9}{'eff':>7}{'share':>8}")
         total_n = rs["stages"]["TOTAL"]

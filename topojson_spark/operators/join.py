@@ -410,10 +410,18 @@ def junctions_path_connected_cellgrouped(
        cells (multiplicity ~(1 + w/cell)^2, typically 2-4) and hash-
        repartition by (cx, cy) + sort within partitions. The pairwise plan
        moves coords through TWO wide shuffle joins with multiplicity = the
-       pair fan-out (the neighbor count, typically 6-10) — on adjacency-
-       dense corpora this engine moves ~3x fewer bytes through the
-       junction stage, which is exactly what caps 4->16-core scaling on
-       memory-bandwidth-saturated hosts.
+       pair fan-out (the neighbor count). MEASURED crossover
+       (tools/bench_junction_engines.py, 40k docs, 16 cores, round 5):
+       on the low-adjacency mosaic the byte advantage is regime-dependent
+       — dense grid: cellgrouped 9.2 s / 225 MB shuffled vs pairwise
+       10.4 s / 211 MB read (wall win, byte parity); sparse grid (each
+       rep overlapping many cells): cellgrouped 4.8 MB vs pairwise
+       14.5 MB read (3x fewer bytes) but 14.0 s vs 7.3 s wall (fewer,
+       larger cell groups balance worse). Relational: 6x slower and ~7x
+       the bytes at both densities. cellgrouped stays the default for the
+       dense/adjacency-heavy regime that dominates at corpus scale;
+       SPARK_GRAFT_JUNCTION_ENGINE=pairwise is the right pick for sparse
+       few-big-cells corpora.
     3. Pair enumeration happens INSIDE the Arrow worker: per cell,
        envelope-overlap candidates via a vectorized triangular mask, each
        pair processed exactly once at its canonical cell — the cell of
@@ -711,9 +719,13 @@ def junctions_path_connected(
 
     - ``cellgrouped`` (default for normally-sized lines): grid-cell
       grouping, pair enumeration INSIDE the Arrow worker — one coords
-      exchange at cell multiplicity (~2-4x) instead of pair multiplicity
-      (~6-10x). Same kernels and pair semantics as ``pairwise``; moves
-      ~3x fewer bytes through the stage's exchanges.
+      exchange at cell multiplicity (~2-4x) instead of pair multiplicity.
+      Same kernels and pair semantics as ``pairwise``; measured crossover
+      vs pairwise is regime-dependent (see
+      junctions_path_connected_cellgrouped and
+      tools/bench_junction_engines.py): faster on dense-adjacency
+      corpora, 3x fewer shuffle bytes on sparse ones (where pairwise is
+      faster on wall time).
     - ``pairwise``: grid-cell candidate pairs -> per-pair numpy sweep,
       coords joined per pair. The engine ``cellgrouped`` was validated
       against; kept as the explicit fallback.
