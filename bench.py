@@ -130,6 +130,9 @@ def main() -> None:
         "join_region",
         "repetition_metrics",
         "sessionize",
+        "asof_join",
+        "asof_join_bucketed",
+        "ivf_topk_persisted",
     ]
     qs = E.queries()
 
