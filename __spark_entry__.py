@@ -76,6 +76,7 @@ from topojson_spark.functions.curation import (  # noqa: E402
     pack_sequences,
     quantile_threshold_filter,
     stratified_sample,
+    token_budget_mixture,
 )
 from topojson_spark.functions.events import (  # noqa: E402
     asof_join,
@@ -363,6 +364,18 @@ def q_quantile_filter(spark, sf_dir):
     )
     return quantile_threshold_filter(qual, "alpha_ratio", 0.30).select(
         "doc_id"
+    )
+
+
+def q_token_budget_mixture(spark, sf_dir):
+    """Per-source corpus mixture to token budgets (the pretraining data
+    mixing step): greedy keep in key-hash order until each source's
+    budget fills. Scale path: map-side (source, hash-bucket) token
+    histogram + driver cumsum + broadcast boundary spec — only the
+    boundary bucket (~1/65,536th of a source) pays a prefix window."""
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mixture(
+        docs, {"src3": 0, "src7": 150}, default_budget=600, salt="mix"
     )
 
 
@@ -896,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quantile_filter": q_quantile_filter,
         "stratified_sample": q_stratified_sample,
+        "token_budget_mixture": q_token_budget_mixture,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1210,6 +1224,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE cum >= ceil(0.30 * (SELECT count(*) FROM s))
             )
             SELECT s.doc_id FROM s, t WHERE s.b >= t.thr""",
+        # exact semantics of the histogram/boundary-bucket plan: within
+        # each source, keep in (key-hash, doc_id) order while the
+        # EXCLUSIVE token prefix is below that source's budget
+        "token_budget_mixture": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                ('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT AS hk,
+                len({_TOKS_SQL})::BIGINT AS n_tokens
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL
+            ), p AS (
+              SELECT doc_id, source, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                  ORDER BY hk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS excl
+              FROM h
+            )
+            SELECT doc_id, source, n_tokens FROM p
+            WHERE excl < CASE WHEN source = 'src3' THEN 0
+                              WHEN source = 'src7' THEN 150
+                              ELSE 600 END""",
         "stratified_sample": """
             WITH h AS (
               SELECT doc_id, lang,

@@ -133,6 +133,7 @@ def main() -> None:
         "asof_join",
         "asof_join_bucketed",
         "ivf_topk_persisted",
+        "token_budget_mixture",
     ]
     qs = E.queries()
 

@@ -347,3 +347,102 @@ def test_quantile_threshold_filter_grid_bounds(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [7, 8, 9]
     with pytest.raises(ValueError):
         C.quantile_threshold_filter(df, "score", 0.3, grid=0)
+
+
+def _brute_mixture(spark_df, budget_of, salt=""):
+    """Reference semantics: per-source greedy keep in (hash, doc_id) order
+    while the EXCLUSIVE token prefix is below the source's budget."""
+    from topojson_spark.functions.text import tokens_col
+    from pyspark.sql import Window
+
+    narrow = spark_df.select(
+        "doc_id", "source",
+        C._key_hash(F.col("doc_id"), salt).alias("hk"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = narrow.withColumn(
+        "excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).collect()
+    return {
+        (r["doc_id"], r["source"], r["n_tokens"])
+        for r in rows
+        if budget_of.get(r["source"]) is not None
+        and r["excl"] < budget_of[r["source"]]
+    }
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # skewed: srcA has 50 docs of 12 tokens, srcB 5 docs, srcC 2 docs
+    rows = (
+        [(i, "w " * 11 + "end", "srcA") for i in range(50)]
+        + [(100 + i, "a b c d e", "srcB") for i in range(5)]
+        + [(200 + i, "x y", "srcC") for i in range(2)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_budget_mixture_matches_brute_force_window(mix_docs):
+    budgets = {"srcA": 100, "srcB": 7, "srcC": 1}
+    got = {
+        tuple(r)
+        for r in C.token_budget_mixture(mix_docs, budgets, salt="t").collect()
+    }
+    assert got == _brute_mixture(mix_docs, budgets, salt="t")
+    # boundary doc included: srcA survivors' tokens overshoot 100, but
+    # removing the costliest survivor would land under budget
+    a_toks = sorted(t for _, s, t in got if s == "srcA")
+    assert sum(a_toks) >= 100 and sum(a_toks) - a_toks[-1] < 100
+    # budget 1 still yields exactly one srcC doc (exclusive-prefix rule)
+    assert sum(1 for _, s, _ in got if s == "srcC") == 1
+
+
+def test_token_budget_mixture_coarse_buckets_agree(mix_docs):
+    # bucket_shift 58 -> 4 buckets: many docs per bucket, exercising the
+    # below-cutoff fast path AND the boundary window together
+    budgets = {"srcA": 240, "srcB": 1000}
+    got = {
+        tuple(r)
+        for r in C.token_budget_mixture(
+            mix_docs, budgets, salt="t", bucket_shift=58
+        ).collect()
+    }
+    assert got == _brute_mixture(mix_docs, budgets, salt="t")
+    # srcB budget exceeds its total: everything survives
+    assert sum(1 for _, s, _ in got if s == "srcB") == 5
+
+
+def test_token_budget_mixture_drops_and_defaults(mix_docs):
+    # zero budget and missing-source-without-default both drop
+    got = C.token_budget_mixture(mix_docs, {"srcA": 0, "srcB": 7}).collect()
+    assert {r["source"] for r in got} == {"srcB"}
+    # default_budget covers unbudgeted sources
+    got2 = C.token_budget_mixture(mix_docs, {}, default_budget=10).collect()
+    assert {r["source"] for r in got2} == {"srcA", "srcB", "srcC"}
+
+
+def test_token_budget_mixture_partition_invariant(mix_docs):
+    budgets = {"srcA": 150, "srcB": 7, "srcC": 3}
+    one = {
+        tuple(r)
+        for r in C.token_budget_mixture(
+            mix_docs.repartition(1), budgets, salt="t"
+        ).collect()
+    }
+    many = {
+        tuple(r)
+        for r in C.token_budget_mixture(
+            mix_docs.repartition(13), budgets, salt="t"
+        ).collect()
+    }
+    assert one == many == _brute_mixture(mix_docs, budgets, salt="t")
+
+
+def test_token_budget_mixture_validates_shift(mix_docs):
+    with pytest.raises(ValueError):
+        C.token_budget_mixture(mix_docs, {"srcA": 1}, bucket_shift=61)

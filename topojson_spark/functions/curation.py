@@ -340,3 +340,125 @@ def quantile_threshold_filter(
             threshold_bucket=threshold, quota=quota, n=total,
         )
     return df.where(b >= F.lit(threshold))
+
+
+def token_budget_mixture(
+    documents: DataFrame,
+    budgets: dict,
+    default_budget: Optional[int] = None,
+    key: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "",
+    bucket_shift: int = 44,
+    metrics=None,
+) -> DataFrame:
+    """Deterministic per-source corpus mixture to token budgets — the
+    "data mixing" step of a pretraining pipeline ("600k tokens of src A,
+    150k of src B, none of src C").
+
+    Contract: within each source, documents are ranked by key hash
+    (``_key_hash(key, salt)``, ties broken by the key) — a seeded uniform
+    draw without replacement — and kept greedily while the EXCLUSIVE
+    running token total is still below the source's budget, so the
+    document that crosses the boundary is included and every nonzero
+    budget yields at least one document. Sources missing from ``budgets``
+    take ``default_budget``; with no default they are dropped. The
+    survivor set is a pure function of (data, budgets, salt): identical
+    across re-runs, partitionings and engines, and exactly expressible as
+    a per-source ``SUM() OVER`` prefix in ANSI SQL (see oracle).
+
+    100 TB design: the naive plan — a running-sum window partitioned by
+    source — serializes each source through one reducer (20 sources on a
+    1000-executor cluster = 20 busy cores). Here the corpus is reduced
+    map-side to a (source, hash-bucket) token histogram (``bucket =
+    hk >> bucket_shift``; at the default shift, <= 65,536 buckets/source
+    cross the exchange and reach the driver REGARDLESS of corpus size),
+    the per-source boundary bucket is found by a driver cumsum over that
+    tiny table, and survivors resolve with a broadcast spec join:
+    buckets strictly below the boundary keep via a codegen filter (no
+    window, no shuffle beyond the histogram's), and ONLY the boundary
+    bucket — ~1/65,536th of a source — pays an exact prefix-sum window.
+    Token counts ride a narrow (key, source, hash, n_tokens) projection;
+    document text never moves. Driver memory is O(sources * 2^(60-shift))
+    rows, bounded by construction like quantile_threshold_filter's grid.
+
+    Returns (key, source, n_tokens) survivors; semi-join on ``key`` to
+    recover full rows.
+    """
+    if bucket_shift < 0 or bucket_shift > _HASH_BITS:
+        raise ValueError(f"bucket_shift must be in [0, 60], got {bucket_shift}")
+    from .text import tokens_col
+
+    narrow = (
+        documents.where(
+            F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+        ).select(
+            F.col(key),
+            F.col(source_col),
+            _key_hash(F.col(key), salt).alias("_hk"),
+            F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+    )
+    if default_budget is None:
+        # only budgeted sources participate: push the keep-list into the
+        # scan so unbudgeted sources never reach the histogram exchange
+        narrow = narrow.where(F.col(source_col).isin([*budgets]))
+
+    hist = (
+        narrow.groupBy(source_col, F.shiftright("_hk", bucket_shift).alias("_bkt"))
+        .agg(F.sum("n_tokens").alias("_tok"))
+        .collect()
+    )
+
+    by_source: dict = {}
+    for r in hist:
+        by_source.setdefault(r[source_col], []).append((r["_bkt"], int(r["_tok"])))
+
+    _ALL = (1 << 62)  # sentinel cutoff: every bucket is below it
+    spec = []  # (source, cutoff bucket, tokens before it, budget)
+    n_partial = 0
+    for src, buckets in by_source.items():
+        b = budgets.get(src, default_budget)
+        if b is None or b <= 0:
+            continue  # source drops entirely
+        cum = 0
+        cutoff, before = None, 0
+        for bkt, tok in sorted(buckets):
+            if cum + tok >= b:
+                cutoff, before = bkt, cum
+                n_partial += 1
+                break
+            cum += tok
+        if cutoff is None:  # budget >= source total: keep everything
+            cutoff = _ALL
+        spec.append((src, int(cutoff), int(before), int(b)))
+    if metrics is not None:
+        metrics.record(
+            "token_budget_mixture",
+            n_sources=len(by_source), n_kept_sources=len(spec),
+            n_boundary_sources=n_partial, n_hist_rows=len(hist),
+        )
+
+    spark = documents.sparkSession
+    spec_df = spark.createDataFrame(
+        spec, schema=f"{source_col} string, _cut long, _before long, _budget long"
+    )
+    joined = narrow.withColumn(
+        "_bkt", F.shiftright("_hk", bucket_shift)
+    ).join(F.broadcast(spec_df), on=source_col)
+
+    out_cols = [key, source_col, "n_tokens"]
+    below = joined.where(F.col("_bkt") < F.col("_cut")).select(*out_cols)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("_hk").asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        joined.where(F.col("_bkt") == F.col("_cut"))
+        .withColumn("_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .where(F.col("_before") + F.col("_excl") < F.col("_budget"))
+        .select(*out_cols)
+    )
+    return below.unionByName(boundary)
