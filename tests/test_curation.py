@@ -446,3 +446,20 @@ def test_token_budget_mixture_partition_invariant(mix_docs):
 def test_token_budget_mixture_validates_shift(mix_docs):
     with pytest.raises(ValueError):
         C.token_budget_mixture(mix_docs, {"srcA": 1}, bucket_shift=61)
+
+
+def test_token_budget_mixture_plan_shape(mix_docs):
+    """Scale-shape pin: the survivor resolution is a BROADCAST spec join
+    and the only sort in the plan is the boundary-bucket window — no
+    global sort, no per-source shuffle of the full corpus beyond the
+    histogram exchange."""
+    plan = (
+        C.token_budget_mixture(mix_docs, {"srcA": 100, "srcB": 7}, salt="t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the boundary window's sort is LOCAL (within source partitions,
+    # printed as "Sort [...], false"); a global sort ("], true") would
+    # betray a full-corpus order-by
+    assert "], true" not in plan
