@@ -147,6 +147,17 @@ def main() -> None:
         fmt(qs["quantile_filter"](spark, SF_DIR)),
     ))
 
+    sections.append((
+        "token_budget_mixture — per-source budget fill, boundary bucket only",
+        "Expect: BroadcastHashJoin of the tiny (source, cutoff, before,"
+        " budget) spec onto the narrow (key, source, hash, n_tokens)"
+        " projection; the below-cutoff branch is a pure codegen Filter;"
+        " the ONLY Window (and its LOCAL sort, printed '], false') runs on"
+        " the bucket==cutoff residue — no global sort, no per-source"
+        " shuffle of the full corpus beyond the histogram exchange.",
+        fmt(qs["token_budget_mixture"](spark, SF_DIR)),
+    ))
+
     # pipeline slice: junction detection over a small corpus
     from topojson_spark.operators.extract import (
         extract,
