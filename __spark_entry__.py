@@ -650,6 +650,13 @@ def q_term_stats(spark, sf_dir):
     return term_stats(_t(spark, sf_dir, "documents"), min_df=2)
 
 
+def q_ngram_stats(spark, sf_dir):
+    """Word-bigram vocabulary (df >= 2) — the frequency table behind
+    boilerplate detection. Same two-level count plan as term_stats; a
+    document ships one tuple per distinct bigram."""
+    return term_stats(_t(spark, sf_dir, "documents"), min_df=2, n=2)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-minute gap): one exchange on user_id
     serves the lag/cumsum windows AND the session aggregate."""
@@ -933,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_bucketed": q_asof_join_bucketed,
         "ivf_topk_persisted": q_ivf_topk_persisted,
         "term_stats": q_term_stats,
+        "ngram_stats": q_ngram_stats,
         "sessionize": q_sessionize,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
@@ -1586,6 +1594,23 @@ def oracle_sql() -> dict[str, str]:
             ),
             pd AS (
               SELECT term, doc_id, count(*) AS n FROM tok GROUP BY 1, 2
+            )
+            SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
+            FROM pd GROUP BY term HAVING count(*) >= 2""",
+        # bigram vocabulary: DuckDB's inclusive slice t[i : i+1] is the
+        # 2-token window matching _gram_strings(toks, 2)'s space-join
+        "ngram_stats": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i : i+1], ' ') AS term
+              FROM tok, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 1, 0)))
+              ) AS s(i)
+            ),
+            pd AS (
+              SELECT term, doc_id, count(*) AS n FROM grams GROUP BY 1, 2
             )
             SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
             FROM pd GROUP BY term HAVING count(*) >= 2""",

@@ -271,3 +271,27 @@ def test_term_stats(spark):
     assert out["dog"]["df"] == 1 and out["dog"]["tf"] == 1
     filtered = {r["term"] for r in term_stats(docs, min_df=2).collect()}
     assert filtered == {"the", "cat"}
+
+
+def test_term_stats_ngrams(spark):
+    from topojson_spark.functions.text import term_stats
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),       # bigrams: "the cat", "cat sat"
+            (2, "the cat"),           # bigram:  "the cat"
+            (3, "cat"),               # 1 token -> NO bigrams (guard)
+            (4, ""),                  # 0 tokens -> no rows at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in term_stats(docs, n=2).collect()}
+    assert out["the cat"]["df"] == 2 and out["the cat"]["tf"] == 2
+    assert out["cat sat"]["df"] == 1 and out["cat sat"]["tf"] == 1
+    assert set(out) == {"the cat", "cat sat"}
+    # min_df composes with n
+    top = {r["term"] for r in term_stats(docs, min_df=2, n=2).collect()}
+    assert top == {"the cat"}
+    with _pt.raises(ValueError):
+        term_stats(docs, n=0)

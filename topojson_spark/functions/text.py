@@ -566,12 +566,15 @@ def simhash_neardup_pairs(
 # -------------------------------------------------------------- vocabulary
 
 
-def term_stats(documents: DataFrame, min_df: int = 1) -> DataFrame:
+def term_stats(documents: DataFrame, min_df: int = 1, n: int = 1) -> DataFrame:
     """Corpus vocabulary: one row per distinct term with its document
     frequency (``df`` — documents containing the term) and total term
     frequency (``tf`` — occurrences across the corpus), filtered to
     ``df >= min_df``. The input to IDF tables, vocab pruning and
-    tokenizer training.
+    tokenizer training. With ``n > 1`` the terms are word n-grams
+    (space-joined, via ``_gram_strings``) — the frequency table behind
+    boilerplate detection: an n-gram whose df approaches the corpus's
+    per-source document count is template text, not content.
 
     100 TB design: the classic two-level word-count. Tokens explode to
     (term, doc_id) and aggregate per (term, doc_id) first — partial
@@ -581,10 +584,15 @@ def term_stats(documents: DataFrame, min_df: int = 1) -> DataFrame:
     hash partitioning prefix. Zipf skew is absorbed by the map-side
     combine: a stopword appearing 1e9 times still ships one tuple per
     (doc, term). No count_distinct (its expand doubles the shuffle).
+    The same bounds hold at any ``n`` (a doc yields len-n+1 grams).
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_col(F.col("text"))
+    terms = toks if n == 1 else _gram_strings(toks, n)
     per_doc = (
         documents.select(
-            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+            "doc_id", F.explode(terms).alias("term")
         )
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
