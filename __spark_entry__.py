@@ -93,6 +93,7 @@ from topojson_spark.functions.text import (  # noqa: E402
     PII_EMAIL_RE,
     PII_IPV4_RE,
     PII_PHONE_RE,
+    dup_span_fraction,
     exact_dedup,
     fingerprint,
     language_id,
@@ -657,6 +658,13 @@ def q_ngram_stats(spark, sf_dir):
     return term_stats(_t(spark, sf_dir, "documents"), min_df=2, n=2)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Duplicated-span scoring (Lee et al. 2022): per document, the
+    fraction of its word trigram positions shared with another document.
+    Two-level gram count + AQE-splittable shuffle join — no windows."""
+    return dup_span_fraction(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-minute gap): one exchange on user_id
     serves the lag/cumsum windows AND the session aggregate."""
@@ -941,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_persisted": q_ivf_topk_persisted,
         "term_stats": q_term_stats,
         "ngram_stats": q_ngram_stats,
+        "dup_spans": q_dup_spans,
         "sessionize": q_sessionize,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
@@ -1614,6 +1623,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
             FROM pd GROUP BY term HAVING count(*) >= 2""",
+        # trigram slice t[i : i+2] is DuckDB's inclusive 3-token window,
+        # matching _gram_strings(toks, 3); int/int double division is
+        # IEEE-identical across engines, so dup_frac needs no rounding
+        "dup_spans": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i : i+2], ' ') AS term
+              FROM tok, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 2, 0)))
+              ) AS s(i)
+            ),
+            pd AS (
+              SELECT term, doc_id, count(*) AS cnt FROM grams GROUP BY 1, 2
+            ),
+            df AS (
+              SELECT term, count(*) AS df FROM pd GROUP BY 1
+            ),
+            dup AS (
+              SELECT pd.doc_id, sum(pd.cnt)::BIGINT AS dup_grams
+              FROM pd JOIN df USING (term) WHERE df.df >= 2 GROUP BY 1
+            )
+            SELECT tok.doc_id,
+                   greatest(len(t) - 2, 0)::BIGINT AS n_grams,
+                   coalesce(dup.dup_grams, 0)::BIGINT AS dup_grams,
+                   CASE WHEN len(t) - 2 > 0
+                        THEN coalesce(dup.dup_grams, 0)::DOUBLE
+                             / (len(t) - 2)::DOUBLE
+                        ELSE 0.0 END AS dup_frac
+            FROM tok LEFT JOIN dup USING (doc_id)""",
         "sessionize": """
             WITH flag AS (
               SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -295,3 +295,32 @@ def test_term_stats_ngrams(spark):
     assert top == {"the cat"}
     with _pt.raises(ValueError):
         term_stats(docs, n=0)
+
+
+def test_dup_span_fraction(spark):
+    from topojson_spark.functions.text import dup_span_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),    # bigrams: ab bc cd de
+            (2, "a b c x y"),    # shares ab, bc with doc 1
+            (3, "a b a b"),      # ab x2 (shared), ba (unique to doc 3)
+            (4, "zz"),           # 1 token -> 0 bigrams
+            (5, ""),             # empty -> 0 bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_fraction(docs, n=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["n_grams"] == 4 and out[1]["dup_grams"] == 2
+    assert out[1]["dup_frac"] == pytest.approx(0.5)
+    assert out[2]["n_grams"] == 4 and out[2]["dup_grams"] == 2
+    # doc 3: "a b" occurs twice (both count as duplicated OCCURRENCES),
+    # "b a" appears only in doc 3 -> not cross-doc duplicated
+    assert out[3]["n_grams"] == 3 and out[3]["dup_grams"] == 2
+    assert out[3]["dup_frac"] == pytest.approx(2 / 3)
+    # degenerate docs keep a row with an exact-zero fraction
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["dup_grams"] == 0
+    with pytest.raises(ValueError):
+        dup_span_fraction(docs, n=0)

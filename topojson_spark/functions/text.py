@@ -607,6 +607,61 @@ def term_stats(documents: DataFrame, min_df: int = 1, n: int = 1) -> DataFrame:
     )
 
 
+def dup_span_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document duplicated-span score: for each document, the fraction
+    of its word n-gram positions whose n-gram also occurs in at least one
+    OTHER document. The corpus-level dedup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a doc
+    whose spans are mostly shared is boilerplate/near-duplicate even when
+    no single whole-document match exists. Returns
+    (doc_id, n_grams, dup_grams, dup_frac) for every document.
+
+    100 TB design: the same two-level plan as :func:`term_stats` — the
+    exchange carries one tuple per distinct (gram, doc), never one per
+    occurrence, so Zipf-skewed grams are collapsed map-side. The
+    cross-doc signal (``df >= 2``) comes from a groupBy + shuffle JOIN on
+    the gram rather than a ``count(*) over (partition by gram)`` window:
+    a partial-aggregated groupBy absorbs a hot gram before the exchange
+    and AQE can split the join's skewed partitions, while a window would
+    serialize every row of the hot gram in one task. The final per-doc
+    rollup and the left join back to the (narrow) totals projection both
+    key on doc_id.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_col(F.col("text"))
+    terms = toks if n == 1 else _gram_strings(toks, n)
+    per_doc = (
+        documents.select("doc_id", F.explode(terms).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    gram_df = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        per_doc.join(gram_df.where(F.col("df") >= 2), on="term")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("dup_grams"))
+    )
+    totals = documents.select(
+        "doc_id",
+        F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    dup_grams = F.coalesce(F.col("dup_grams"), F.lit(0).cast("long"))
+    # int/int double division is IEEE-identical across engines; no rounding
+    frac = F.when(
+        F.col("n_grams") > 0,
+        dup_grams.cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return totals.join(dup, on="doc_id", how="left").select(
+        "doc_id",
+        "n_grams",
+        dup_grams.alias("dup_grams"),
+        frac.alias("dup_frac"),
+    )
+
+
 # -------------------------------------------------------------- PII redact
 
 
