@@ -481,6 +481,28 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means (Lloyd, k=4, 2 recompute rounds from id-ordered
+    seeds): per-round stats collapse map-side to k*dim rows, centroids
+    ride back as codegen literals. Output is the final integer assignment
+    surface — engine-reproducible like ivf_assign."""
+    from topojson_spark.functions.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=4, iters=2)
+    return assigned.select("vec_id", "centroid_id")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style pruning against the fixed codebook: within each
+    cluster drop every vector with a smaller-id neighbor at cos >= 0.4.
+    The pairwise scan never leaves a cluster (one co-partitioned join)."""
+    from topojson_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, centroids=CENTROIDS, threshold=0.4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from topojson_spark.functions.similarity import cosine_neardup_pairs
 
@@ -932,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
+        "kmeans_assign": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "simhash_neardup": q_simhash_neardup,
         "pip_lattice": q_pip,
         "toposimplify_arcs": q_toposimplify,
@@ -1002,6 +1026,52 @@ def _sql_dot(vec_expr: str, lit) -> str:
     return (
         f"list_aggregate(list_transform(list_zip({vec_expr}, "
         f"{_sql_vec(lit)}::DOUBLE[]), p -> p[1]::DOUBLE * p[2]), 'sum')"
+    )
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Lloyd CTE chain mirroring kmeans_lloyd: c0 = id-ordered seeds,
+    then ``iters`` rounds of (assign a{t} -> mean-recompute c{t}), output
+    the final assignment. Tie-break ORDER BY dist, cid = ivf_assign's
+    first-least pick; per-coordinate avg matches Spark's groupBy avg (the
+    integer surface is insensitive to either engine's sum order)."""
+    dist = (
+        "list_aggregate(list_transform(list_zip(e.embedding, c.cl), "
+        "p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])), 'sum')"
+    )
+    parts = [
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 list_transform(embedding, x -> x::DOUBLE) AS cl
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for t in range(1, iters + 2):
+        parts.append(f"""a{t} AS (
+          SELECT vec_id, embedding, cid AS centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM embeddings e, c{t - 1} c) q
+          WHERE rn = 1
+        )""")
+        if t <= iters:
+            parts.append(f"""c{t} AS (
+              SELECT centroid_id AS cid, list(m ORDER BY pos) AS cl
+              FROM (
+                SELECT a.centroid_id, s.i AS pos,
+                       avg(a.embedding[s.i]::DOUBLE) AS m
+                FROM a{t} a, LATERAL (
+                  SELECT unnest(generate_series(1, len(a.embedding)))
+                ) AS s(i)
+                GROUP BY 1, 2) sub
+              GROUP BY 1
+            )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, centroid_id FROM a{iters + 1}"
     )
 
 
@@ -1438,6 +1508,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim_r
             FROM scored WHERE cos_sim >= 0.4""",
+        "kmeans_assign": _kmeans_sql(4, 2),
+        # assignment CTE = the ivf_assign oracle; the dominated-drop rule
+        # (EXISTS smaller-id in-cluster neighbor at cos >= 0.4) is the
+        # literal transcription of semantic_dedup's join + anti-join
+        "semantic_dedup": f"""
+            WITH d AS (
+              SELECT vec_id, embedding,
+                {", ".join(
+                    f"list_aggregate(list_transform(list_zip(embedding, "
+                    f"{_sql_vec(c)}::DOUBLE[]), "
+                    f"p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])), "
+                    f"'sum') AS d{i}"
+                    for i, c in enumerate(CENTROIDS)
+                )}
+              FROM embeddings
+            ),
+            asg AS (
+              SELECT vec_id, embedding,
+                CASE {" ".join(
+                    f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                    for i in range(len(CENTROIDS))
+                )} END AS centroid_id
+              FROM d
+            ),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM asg a JOIN asg b
+                ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              WHERE
+                list_aggregate(list_transform(list_zip(a.embedding,
+                    b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')
+                / (greatest(sqrt(list_aggregate(list_transform(a.embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)
+                   * greatest(sqrt(list_aggregate(list_transform(b.embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)) >= 0.4
+            )
+            SELECT vec_id, centroid_id FROM asg
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
         "simhash_neardup": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
             tok AS (SELECT doc_id, unnest(tk) AS tt FROM t),

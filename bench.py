@@ -134,6 +134,9 @@ def main() -> None:
         "asof_join_bucketed",
         "ivf_topk_persisted",
         "token_budget_mixture",
+        "dup_spans",
+        "kmeans_assign",
+        "semantic_dedup",
     ]
     qs = E.queries()
 

@@ -208,3 +208,82 @@ def test_netpbm_decode_is_real(spark):
     feats = extract_features(media, out_size=8).collect()[0]["feat"]
     assert len(feats) == 64
     assert all(abs(f - 120 / 255) < 1e-6 for f in feats)
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def test_kmeans_lloyd_separated_clusters(spark):
+    """Two well-separated blobs: Lloyd must converge to them from bad
+    seeds (both initial centroids inside blob A, since seeds are the
+    smallest ids) and the recomputed centroids must be the blob means."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((20, 8)) * 0.05 + 5.0
+    b = rng.standard_normal((20, 8)) * 0.05 - 5.0
+    rows = [(i, [float(v) for v in a[i]]) for i in range(20)]
+    rows += [(20 + i, [float(v) for v in b[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = S.kmeans_lloyd(df, k=2, iters=3)
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    blob_a = {got[i] for i in range(20)}
+    blob_b = {got[20 + i] for i in range(20)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    (ca,) = blob_a
+    np.testing.assert_allclose(np.asarray(cents[ca]), a.mean(0), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(cents[1 - ca]), b.mean(0), atol=1e-4
+    )
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    """A seed no vector prefers keeps its previous centroid instead of
+    crashing or collapsing to NaN (documented deviation from the oracle)."""
+    rows = [(i, [float(i), 0.0]) for i in range(4)]  # 0,1,2,3 on a line
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # seeds = vecs 0 and 1; push every vector onto seed 1's side
+    assigned, cents = S.kmeans_lloyd(
+        df, k=2, iters=2, init=[[-100.0, 0.0], [1.5, 0.0]]
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert set(got.values()) == {1}
+    assert cents[0] == [-100.0, 0.0]  # untouched seed
+    assert cents[1] == pytest.approx([1.5, 0.0])  # mean of 0..3
+
+
+def test_kmeans_init_requires_enough_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        S.kmeans_init(df, k=2)
+
+
+def test_semantic_dedup_dominated_rule(spark):
+    """In-cluster near-identical vectors collapse to the smallest id;
+    cross-cluster duplicates are NOT compared (the SemDeDup contract)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),   # ~dup of 1, same cluster -> dropped
+        (3, [0.0, 1.0, 0.0]),       # same cluster as 1/2, dissimilar
+        (4, [-1.0, 0.0, 0.0]),      # other cluster
+        (5, [-0.999, -0.001, 0.0]), # ~dup of 4, same cluster -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.5, 0.0], [-1.0, -0.5, 0.0]]
+    out = S.semantic_dedup(df, centroids=cents, threshold=0.95)
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert got == [1, 3, 4]
+
+
+def test_semantic_dedup_via_kmeans_gate_corpus(spark):
+    """kmeans-backed clustering on the sf0.001 embeddings: every cluster
+    keeps members (the empty-cluster branch must not trigger on gate
+    data) and survivors are a subset of the corpus."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = df.count()
+    assigned, _ = S.kmeans_lloyd(df, k=4, iters=2)
+    sizes = assigned.groupBy("centroid_id").count().collect()
+    assert len(sizes) == 4 and all(r["count"] > 0 for r in sizes)
+    out = S.semantic_dedup(df, k=4, iters=2, threshold=0.4)
+    kept = out.count()
+    assert 0 < kept <= n

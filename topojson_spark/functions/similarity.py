@@ -311,3 +311,154 @@ def ivf_assign(
         cond = F.col(f"d{i}") == best
         pick = F.when(cond, i) if pick is None else pick.when(cond, i)
     return scored.select(id_col, vec_col, pick.alias("centroid_id"))
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def kmeans_init(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic seeding: the vectors of the ``k`` smallest ids, in id
+    order (centroid ``i`` = i-th smallest id). A k-row TakeOrdered —
+    reproducible by any engine, no RNG state to ship."""
+    rows = (
+        embeddings.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"corpus has {len(rows)} vectors, need k={k}")
+    return [[float(v) for v in r[1]] for r in rows]
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: List[Sequence[float]] | None = None,
+):
+    """Distributed k-means (Lloyd) over an embedding column, DataFrame-only.
+
+    ``iters`` assign->recompute rounds from :func:`kmeans_init` seeds, then
+    a final assignment against the converged centroids. Returns
+    ``(assignments, centroids)`` where assignments is
+    (id, vec, centroid_id) and centroids the final k python vectors.
+
+    100 TB design (the aggregation shape of MLlib's treeAggregate, in pure
+    DataFrame form): each round is ONE job — ``ivf_assign``'s unrolled
+    codegen distances (no shuffle) feed a posexplode + groupBy
+    (centroid_id, pos) mean whose partial aggregation collapses to at most
+    k*dim rows PER TASK map-side, so the exchange and the driver collect
+    are k*dim rows regardless of corpus size. Centroids return to the
+    executors as broadcast literals in the next round's codegen, never as
+    a join. Determinism: seeds are id-ordered, the assignment tie-break is
+    the smallest centroid id (ivf_assign), and per-coordinate means are
+    insensitive to sum order at far more than the distance margins between
+    centroids, so the integer assignment surface is engine-reproducible
+    (same argument as the ivf_assign oracle). An empty cluster keeps its
+    previous centroid (documented deviation: the SQL oracle would drop it;
+    the gate corpus never empties a cluster, asserted in tests).
+    """
+    cents = (
+        [[float(v) for v in c] for c in init]
+        if init is not None
+        else kmeans_init(embeddings, k, id_col=id_col, vec_col=vec_col)
+    )
+    if len(cents) != k:
+        raise ValueError(f"init has {len(cents)} centroids, expected k={k}")
+    for _ in range(iters):
+        assigned = ivf_assign(
+            embeddings, cents, id_col=id_col, vec_col=vec_col
+        )
+        stats = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in stats:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cid[c][p] for p in range(len(cents[c]))]
+            if c in by_cid
+            else cents[c]
+            for c in range(k)
+        ]
+    return (
+        ivf_assign(embeddings, cents, id_col=id_col, vec_col=vec_col),
+        cents,
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: List[Sequence[float]] | None = None,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+    embeddings, then inside each cluster drop every vector that has a
+    smaller-id neighbor with cosine >= ``threshold``. Returns the
+    survivors as (id, centroid_id). With ``centroids=None`` the clusters
+    come from :func:`kmeans_lloyd`; pass a fixed centroid table to prune
+    against a precomputed codebook.
+
+    The dominated rule (drop b iff EXISTS a < b in-cluster with
+    cos(a,b) >= t) is deterministic and order-free — unlike the paper's
+    sequential greedy scan it needs no driver loop, at the cost of
+    occasionally dropping both ends of a chain a~b~c where greedy would
+    keep c. 100 TB design: the pairwise scan is confined to a cluster
+    (that is SemDeDup's whole point — k scales with corpus so clusters
+    stay bounded); the self-join keys on centroid_id, so it is one
+    co-partitioned exchange, and the id_a < id_b predicate halves the
+    pair space. Skewed (oversized) clusters are the operator's documented
+    failure mode: raise k, exactly as the paper does.
+    """
+    if centroids is None:
+        assigned, _ = kmeans_lloyd(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        assigned = ivf_assign(
+            embeddings, centroids, id_col=id_col, vec_col=vec_col
+        )
+    a = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (
+        F.greatest(_norm("vec_a"), F.lit(1e-12))
+        * F.greatest(_norm("vec_b"), F.lit(1e-12))
+    )
+    dropped = (
+        a.join(b, on="centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti").select(
+        id_col, "centroid_id"
+    )
