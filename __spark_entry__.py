@@ -680,6 +680,20 @@ def q_ngram_stats(spark, sf_dir):
     return term_stats(_t(spark, sf_dir, "documents"), min_df=2, n=2)
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 top-15 lexical retrieval for a 3-term query: hits-only
+    explode (the corpus text never shuffles), fixed-order pivot sum for
+    engine-exact scores, TakeOrderedAndProject selection."""
+    from topojson_spark.functions.text import bm25_topk
+
+    out = bm25_topk(
+        _t(spark, sf_dir, "documents"), ["customer", "scan", "spark"], k=15
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score_r"), "rank"
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     """Duplicated-span scoring (Lee et al. 2022): per document, the
     fraction of its word trigram positions shared with another document.
@@ -974,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "ngram_stats": q_ngram_stats,
         "dup_spans": q_dup_spans,
+        "bm25_topk": q_bm25,
         "sessionize": q_sessionize,
         "knn_grid": q_knn,
         "topology_mosaic": q_topology_mosaic,
@@ -1731,6 +1746,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
             FROM pd GROUP BY term HAVING count(*) >= 2""",
+        # arithmetic is the literal transcription of bm25_topk (same
+        # association order, same fixed alphabetical-term pivot sum), so
+        # scores are engine-exact; avgdl is exact (integer-valued double
+        # sums), ln()'s 1-ulp libm risk is absorbed by round(...,6)
+        "bm25_topk": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ),
+            base AS (SELECT doc_id, t, len(t) AS dl FROM tok),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl
+              FROM base
+            ),
+            hits AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(t) AS term FROM base) u
+              WHERE term IN ('customer', 'scan', 'spark')
+              GROUP BY 1, 2, 3
+            ),
+            dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+            contrib AS (
+              SELECT h.doc_id, h.term,
+                ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5)
+                         / (d.df + 0.5))
+                * (h.tf / (h.tf + 1.2 * (0.25 + 0.75 * h.dl
+                           / (SELECT avgdl FROM stats)))) AS c
+              FROM hits h JOIN dfs d USING (term)
+            ),
+            pv AS (
+              SELECT doc_id,
+                max(CASE WHEN term = 'customer' THEN c END) AS c0,
+                max(CASE WHEN term = 'scan' THEN c END) AS c1,
+                max(CASE WHEN term = 'spark' THEN c END) AS c2
+              FROM contrib GROUP BY 1
+            ),
+            sc AS (
+              SELECT doc_id,
+                coalesce(c0, 0.0) + coalesce(c1, 0.0)
+                + coalesce(c2, 0.0) AS score
+              FROM pv
+            )
+            SELECT doc_id, round(score, 6) AS score_r,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM sc QUALIFY rank <= 15""",
         # trigram slice t[i : i+2] is DuckDB's inclusive 3-token window,
         # matching _gram_strings(toks, 3); int/int double division is
         # IEEE-identical across engines, so dup_frac needs no rounding

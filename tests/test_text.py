@@ -306,3 +306,56 @@ def test_source_filter(sourced_docs):
 def test_source_filter_broadcasts_keep_list(sourced_docs):
     plan = X.source_filter(sourced_docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_topk_matches_reference(spark):
+    import math
+
+    rows = [
+        (1, "spark spark spark join"),
+        (2, "spark join window window"),
+        (3, "window window window window window"),
+        (4, "other words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = X.bm25_topk(docs, ["spark", "window"], k=4).collect()
+
+    # pure-python BM25 (k1=1.2, b=0.75) over the same corpus
+    toks = {r[0]: r[1].split() for r in rows}
+    n, avgdl = 4, sum(len(t) for t in toks.values()) / 4
+    dfs = {
+        q: sum(q in t for t in toks.values()) for q in ("spark", "window")
+    }
+    def score(d):
+        s = 0.0
+        for q in ("spark", "window"):
+            tf = toks[d].count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            s += idf * tf / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+        return s
+    # only docs containing >= 1 query term are retrieval candidates
+    want = sorted(
+        (d for d in toks if score(d) > 0), key=lambda d: (-score(d), d)
+    )
+    assert [r["doc_id"] for r in got] == want
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    by_id = {r["doc_id"]: r["score"] for r in got}
+    for d in want:
+        assert by_id[d] == pytest.approx(score(d), rel=1e-12)
+    assert 4 not in by_id  # no query-term hit -> not a candidate
+    with pytest.raises(ValueError):
+        X.bm25_topk(docs, [])
+
+
+def test_bm25_plan_is_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark join") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        X.bm25_topk(docs, ["spark"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # per-partition top-k selection, no global sort of the corpus
+    assert "TakeOrderedAndProject" in plan

@@ -662,6 +662,93 @@ def dup_span_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def bm25_topk(
+    documents: DataFrame,
+    query_terms,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked top-k document retrieval for a bag of query terms
+    (Robertson/Spärck Jones idf, ``ln(1 + (N - df + .5)/(df + .5))``).
+    Returns (doc_id, score, rank), rank <= k; only documents containing
+    at least one query term are candidates (zero-score docs never rank). The lexical-retrieval twin
+    of ``cosine_topk`` — the standard tool for mining topical subsets out
+    of a pretraining corpus.
+
+    100 TB design: tokens are exploded ALREADY FILTERED to the (tiny,
+    broadcast-literal) query vocabulary, so the exchange carries only
+    query-term hits — one partially-aggregated tuple per (doc, term) —
+    never the corpus vocabulary. Corpus stats (N, avgdl) are one 1-row
+    aggregate; per-term df rides the same hit tuples (a second groupBy of
+    an already-small table). The final selection is orderBy+limit =
+    TakeOrderedAndProject, per-partition top-k with no global sort. The
+    corpus text itself never shuffles.
+    """
+    terms = sorted({str(t) for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens_col(F.col("text"))
+    base = documents.select(
+        "doc_id", toks.alias("tk"), F.size(toks).alias("dl")
+    )
+    n_row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(n_row["n"]), float(n_row["avgdl"])
+    qset = F.array(*[F.lit(t) for t in terms])
+    hits = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(F.col("tk"), lambda t: F.array_contains(qset, t))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    # fixed-order pivot sum: docs sharing a (tf, dl) profile must score
+    # bit-identically in any engine, so the per-doc total is added in
+    # sorted-term order (a groupBy sum's accumulation order would not be)
+    per_term = [
+        F.max(F.when(F.col("term") == t, contrib)).alias(f"c{i}")
+        for i, t in enumerate(terms)
+    ]
+    score = None
+    for i in range(len(terms)):
+        part = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+        score = part if score is None else score + part
+    scored = (
+        hits.join(F.broadcast(df_tbl), on="term")
+        .groupBy("doc_id")
+        .agg(*per_term)
+        .select("doc_id", score.alias("score"))
+    )
+    out = scored.orderBy(F.desc("score"), "doc_id").limit(k)
+    return out.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), "doc_id")
+        ),
+    )
+
+
 # -------------------------------------------------------------- PII redact
 
 
