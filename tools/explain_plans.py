@@ -158,6 +158,42 @@ def main() -> None:
         fmt(qs["token_budget_mixture"](spark, SF_DIR)),
     ))
 
+    sections.append((
+        "dup_spans — cross-doc duplicated n-gram fraction",
+        "Expect: Generate (gram explode) -> HashAggregate partial+final on"
+        " (term, doc) — one exchanged tuple per DISTINCT (gram, doc) —"
+        " then a groupBy(term) df count and a shuffle JOIN on the gram"
+        " (AQE-splittable, deliberately not a window) before the narrow"
+        " doc_id rollup; no Python anywhere.",
+        fmt(qs["dup_spans"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "bm25_topk — hits-only lexical scoring",
+        "Expect: the explode Generate sits above a filter to the literal"
+        " query vocabulary, so only query-term hits are generated and"
+        " exchanged; BroadcastHashJoin for the tiny per-term df table;"
+        " fixed-order pivot sum in codegen; TakeOrderedAndProject for the"
+        " top-k (no global sort, rank window over <= k rows).",
+        fmt(qs["bm25_topk"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "kmeans_assign — Lloyd final assignment",
+        "Expect: ONE parquet scan and ZERO Exchange — every centroid"
+        " distance is an unrolled codegen aggregate expression and the"
+        " argmin a CASE chain; the training rounds behind it each moved"
+        " only k*dim rows (posexplode + partial-agg mean, see"
+        " similarity.kmeans_lloyd).",
+        fmt(qs["kmeans_assign"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "semantic_dedup — in-cluster dominated drop",
+        "Expect: the pairwise cosine join keyed on centroid_id (one"
+        " co-partitioned Exchange pair), id_a < id_b halving the pair"
+        " space, then a LEFT ANTI join of assignments against the dropped"
+        " ids; distances/cosines all codegen, no Python.",
+        fmt(qs["semantic_dedup"](spark, SF_DIR)),
+    ))
+
     # pipeline slice: junction detection over a small corpus
     from topojson_spark.operators.extract import (
         extract,
