@@ -380,6 +380,17 @@ def q_token_budget_mixture(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling: per-row keep probability
+    n_chars/400 (clamped), one codegen filter, zero shuffles."""
+    from topojson_spark.functions.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, F.col("n_chars") / F.lit(400.0), salt="wq"
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact 20-doc quota per language, drawn by key-hash order (a seeded
     uniform draw without replacement, deterministic across engines)."""
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quantile_filter": q_quantile_filter,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "token_budget_mixture": q_token_budget_mixture,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_jaccard,
@@ -1290,6 +1302,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'r3'), 1, 15))::BIGINT
                   < {int(0.25 * (1 << 60))}""",
+        # floor (not a raw cast: Spark truncates, DuckDB rounds) of the
+        # clamped per-row probability times 2^60 — weighted_sample verbatim
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'wq'), 1, 15))::BIGINT
+                  < floor(least(greatest(n_chars / 400.0, 0.0), 1.0)
+                          * 1152921504606846976.0)::BIGINT""",
         # exclusive running token total in doc_id order; the Spark side is
         # a distributed two-phase prefix sum, the oracle the plain window
         "pack_sequences": f"""

@@ -463,3 +463,33 @@ def test_token_budget_mixture_plan_shape(mix_docs):
     # printed as "Sort [...], false"); a global sort ("], true") would
     # betray a full-corpus order-by
     assert "], true" not in plan
+
+
+def test_weighted_sample_matches_python_and_is_monotonic(docs):
+    import math
+
+    # p_i = (doc_id % 10) / 10 -> deciles of keep probability
+    prob = (F.col("doc_id") % 10) / F.lit(10.0)
+    got = sorted(
+        r["doc_id"]
+        for r in C.weighted_sample(docs, prob, salt="w").collect()
+    )
+    want = sorted(
+        i
+        for i in range(60)
+        if _py_hash(i, "w") < math.floor((i % 10) / 10.0 * (1 << 60))
+    )
+    assert got == want
+    # p=0 rows (doc_id % 10 == 0) can never survive
+    assert all(d % 10 != 0 for d in got)
+    # monotonic: doubling every probability only ADDS survivors
+    got2 = {
+        r["doc_id"]
+        for r in C.weighted_sample(docs, prob * 2, salt="w").collect()
+    }
+    assert set(got) <= got2
+    # p >= 1 (clamped) keeps everything
+    assert C.weighted_sample(docs, F.lit(7.5), salt="w").count() == 60
+    # NULL probability -> dropped, not an error
+    nullp = F.when(F.col("doc_id") < 30, 1.0)
+    assert C.weighted_sample(docs, nullp, salt="w").count() == 30

@@ -136,6 +136,35 @@ def stratified_sample_rates(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    prob_col,
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic PER-ROW-probability sample: row i survives iff
+    hash(key_i, salt) < p_i * hash_space, where ``prob_col`` is a column
+    expression yielding the row's keep probability (clamped to [0, 1]).
+    The quality-weighted resampling move (DCLM / FineWeb-edu style: keep
+    probability a function of a classifier or heuristic score) — the
+    per-row generalization of :func:`hash_sample`.
+
+    Survivors are a pure function of (key, salt, p) — stable across
+    re-runs, partitionings and engines, and MONOTONIC in p: raising a
+    row's score can only add it to the sample, never remove another
+    (useful for incremental threshold tuning). The plan is one codegen
+    filter on the scan: zero shuffles, no RNG state, corpus never moves.
+    The threshold is floor(p * space) — floor, not a raw long cast,
+    because double->int casts TRUNCATE in Spark but ROUND in DuckDB;
+    floor of a non-negative double is identical everywhere, so any
+    engine reproduces the exact survivor set. A NULL probability drops
+    the row (the filter is null-rejecting), it never errors.
+    """
+    p = F.least(F.greatest(prob_col.cast("double"), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(p * F.lit(float(_HASH_SPACE))).cast("long")
+    return df.where(_key_hash(F.col(key), salt) < threshold)
+
+
 def shingle_ngrams(text_col, n: int):
     """Word n-grams of a text column as array<string>: whitespace-split,
     each shingle the space-join of ``n`` consecutive tokens. Documents
