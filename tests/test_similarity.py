@@ -287,3 +287,11 @@ def test_semantic_dedup_via_kmeans_gate_corpus(spark):
     out = S.semantic_dedup(df, k=4, iters=2, threshold=0.4)
     kept = out.count()
     assert 0 < kept <= n
+
+
+def test_kmeans_rejects_bad_k(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        S.kmeans_init(df, k=0)

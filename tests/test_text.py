@@ -359,3 +359,9 @@ def test_bm25_plan_is_distributed(spark):
     )
     # per-partition top-k selection, no global sort of the corpus
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        X.bm25_topk(empty, ["spark"])

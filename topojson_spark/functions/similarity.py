@@ -325,6 +325,8 @@ def kmeans_init(
     """Deterministic seeding: the vectors of the ``k`` smallest ids, in id
     order (centroid ``i`` = i-th smallest id). A k-row TakeOrdered —
     reproducible by any engine, no RNG state to ship."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     rows = (
         embeddings.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     )
@@ -433,25 +435,30 @@ def semantic_dedup(
         assigned = ivf_assign(
             embeddings, centroids, id_col=id_col, vec_col=vec_col
         )
-    a = assigned.select(
+    # norms minted ONCE per vector before the self-join (the join would
+    # otherwise recompute each side's norm per PAIR — 3x the flops);
+    # same expression, same vector -> bit-identical cosine either way
+    normed = assigned.withColumn(
+        "_nrm", F.greatest(_norm(vec_col), F.lit(1e-12))
+    )
+    a = normed.select(
         "centroid_id",
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        F.col("_nrm").alias("nrm_a"),
     )
-    b = assigned.select(
+    b = normed.select(
         "centroid_id",
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        F.col("_nrm").alias("nrm_b"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    cos = dot / (
-        F.greatest(_norm("vec_a"), F.lit(1e-12))
-        * F.greatest(_norm("vec_b"), F.lit(1e-12))
-    )
+    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
     dropped = (
         a.join(b, on="centroid_id")
         .where(F.col("id_a") < F.col("id_b"))

@@ -696,6 +696,8 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     ).collect()[0]
+    if not n_row["n"]:
+        raise ValueError("bm25_topk: empty corpus")
     n_docs, avgdl = int(n_row["n"]), float(n_row["avgdl"])
     qset = F.array(*[F.lit(t) for t in terms])
     hits = (
