@@ -93,6 +93,7 @@ from topojson_spark.functions.text import (  # noqa: E402
     PII_EMAIL_RE,
     PII_IPV4_RE,
     PII_PHONE_RE,
+    SUBWORD_RE,
     dup_span_fraction,
     exact_dedup,
     fingerprint,
@@ -270,6 +271,14 @@ def q_join_region(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_subword_count(spark, sf_dir):
+    """BPE-ish regex word-piece count next to the whitespace count —
+    the token-budget estimator; pure codegen, zero shuffles."""
+    from topojson_spark.functions.text import subword_count
+
+    return subword_count(_t(spark, sf_dir, "documents"))
 
 
 def q_quality(spark, sf_dir):
@@ -958,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk,
         "join_region": q_join_region,
         "token_count": q_token_count,
+        "subword_count": q_subword_count,
         "quality_score": q_quality,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
@@ -1196,6 +1206,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name""",
         "token_count": f"""
             SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents""",
+        # the LITERAL same SUBWORD_RE both engines run (imported, like PII)
+        "subword_count": f"""
+            SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+                   len(regexp_extract_all(lower(text), '{SUBWORD_RE}'))
+                   AS n_subtokens
+            FROM documents""",
         "quality_score": f"""
             WITH t AS (
               SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents

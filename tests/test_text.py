@@ -365,3 +365,23 @@ def test_bm25_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         X.bm25_topk(empty, ["spark"])
+
+
+def test_subword_count_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # "internationalization" -> inte|rnat|iona|liza|tion = 5 pieces
+            (1, "internationalization"),
+            # "Hi there!" -> hi|ther|e|! = 4 pieces, 2 whitespace tokens
+            (2, "Hi there!"),
+            # digits chunk in 3s: 12345 -> 123|45; dash is its own piece
+            (3, "12345-6"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.subword_count(docs).collect()}
+    assert out[1]["n_tokens"] == 1 and out[1]["n_subtokens"] == 5
+    assert out[2]["n_tokens"] == 2 and out[2]["n_subtokens"] == 4
+    assert out[3]["n_subtokens"] == 4  # 123|45|-|6
+    assert out[4]["n_tokens"] == 0 and out[4]["n_subtokens"] == 0

@@ -147,6 +147,28 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish word-piece pattern, portable Java-regex/RE2 subset: short
+# letter runs (<=4), digit runs (<=3), or a single non-alnum mark — a
+# 9-letter word counts as 3 pieces, punctuation counts like a real
+# tokenizer's specials. The ONE pattern both engines run verbatim.
+SUBWORD_RE = r"([a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s])"
+
+
+def subword_count(documents: DataFrame) -> DataFrame:
+    """BPE-ish token budget estimate: greedy regex word-piece count over
+    the lowercased text, next to the whitespace count. The cheap stand-in
+    for a real tokenizer when sizing corpora in tokens (mandate:
+    whitespace + BPE-ish regex counting); pure codegen, zero shuffles.
+    """
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(SUBWORD_RE)).alias(
+            "n_subtokens"
+        ),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Length/punct/stopword heuristics; one row per doc with components so
     thresholds can move downstream without recomputation."""
