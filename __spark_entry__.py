@@ -351,6 +351,38 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_corpus_curation_v2(spark, sf_dir):
+    """The round-5 curation recipe end-to-end: Lee-style duplicated-span
+    filter (drop docs whose trigram positions are >60% cross-doc dups)
+    INTERSECT SemDeDup semantic survivors (docs whose embedding was
+    pruned in-cluster at cos >= 0.4 drop; docs without a vector pass)
+    INTERSECT quality-weighted deterministic sampling (p = n_chars/400).
+    Each leg is its own oracle-gated operator; this query gates the
+    composition. Text rides no shuffle in any leg."""
+    from topojson_spark.functions.similarity import semantic_dedup
+    from topojson_spark.functions.text import dup_span_fraction
+    from topojson_spark.functions.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    spans = dup_span_fraction(docs, n=3)
+    keep = spans.where(F.col("dup_frac") <= 0.6).select(
+        "doc_id", "dup_frac"
+    )
+    sem = semantic_dedup(emb, centroids=CENTROIDS, threshold=0.4)
+    sem_dropped = (
+        emb.select("vec_id")
+        .join(sem.select("vec_id"), "vec_id", "left_anti")
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    cand = docs.join(keep, "doc_id").join(
+        sem_dropped, "doc_id", "left_anti"
+    )
+    return weighted_sample(
+        cand, F.col("n_chars") / F.lit(400.0), salt="v2"
+    ).select("doc_id", "source", "n_chars", "dup_frac")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 25% Bernoulli sample by content hash — re-run-stable
     and partition-order independent (a rand(seed) sample is neither)."""
@@ -977,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "corpus_curation": q_corpus_curation,
+        "corpus_curation_v2": q_corpus_curation_v2,
         "hash_sample": q_hash_sample,
         "pack_sequences": q_pack_sequences,
         "quantile_filter": q_quantile_filter,
@@ -1781,6 +1814,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS df, sum(n)::BIGINT AS tf
             FROM pd GROUP BY term HAVING count(*) >= 2""",
+        # the three proven oracle blocks (dup_spans, semantic_dedup's
+        # dropped CTE, weighted_sample's floor-hash predicate) composed
+        # verbatim — the query gates the COMPOSITION, each leg has its own
+        "corpus_curation_v2": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i : i+2], ' ') AS term
+              FROM tok, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 2, 0)))
+              ) AS s(i)
+            ),
+            pd AS (
+              SELECT term, doc_id, count(*) AS cnt FROM grams GROUP BY 1, 2
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM pd GROUP BY 1
+            ),
+            dup AS (
+              SELECT pd.doc_id, sum(pd.cnt)::BIGINT AS dup_grams
+              FROM pd JOIN dfreq USING (term) WHERE dfreq.df >= 2
+              GROUP BY 1
+            ),
+            spans AS (
+              SELECT tok.doc_id,
+                     CASE WHEN len(t) - 2 > 0
+                          THEN coalesce(dup.dup_grams, 0)::DOUBLE
+                               / (len(t) - 2)::DOUBLE
+                          ELSE 0.0 END AS dup_frac
+              FROM tok LEFT JOIN dup USING (doc_id)
+            ),
+            dsc AS (
+              SELECT vec_id, embedding,
+                {", ".join(
+                    f"list_aggregate(list_transform(list_zip(embedding, "
+                    f"{_sql_vec(c)}::DOUBLE[]), "
+                    f"p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])), "
+                    f"'sum') AS d{i}"
+                    for i, c in enumerate(CENTROIDS)
+                )}
+              FROM embeddings
+            ),
+            asg AS (
+              SELECT vec_id, embedding,
+                CASE {" ".join(
+                    f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                    for i in range(len(CENTROIDS))
+                )} END AS centroid_id
+              FROM dsc
+            ),
+            sem_dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM asg a JOIN asg b
+                ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              WHERE
+                list_aggregate(list_transform(list_zip(a.embedding,
+                    b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')
+                / (greatest(sqrt(list_aggregate(list_transform(a.embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)
+                   * greatest(sqrt(list_aggregate(list_transform(b.embedding,
+                        e -> e::DOUBLE * e), 'sum')), 1e-12)) >= 0.4
+            )
+            SELECT d.doc_id, d.source, d.n_chars, s.dup_frac
+            FROM documents d
+            JOIN spans s USING (doc_id)
+            WHERE s.dup_frac <= 0.6
+              AND d.doc_id NOT IN (SELECT vec_id FROM sem_dropped)
+              AND ('0x' || substring(md5(d.doc_id::VARCHAR || 'v2'),
+                   1, 15))::BIGINT
+                  < floor(least(greatest(d.n_chars / 400.0, 0.0), 1.0)
+                          * 1152921504606846976.0)::BIGINT""",
         # arithmetic is the literal transcription of bm25_topk (same
         # association order, same fixed alphabetical-term pivot sum), so
         # scores are engine-exact; avgdl is exact (integer-valued double
