@@ -131,3 +131,92 @@ def test_to_alt_glue_with_fake_altair(topo, monkeypatch):
     assert calls["color"] == "properties.x:N"
     # reference projects identity with Y reflection (screen coords)
     assert calls["project"] == ("identity", True)
+
+
+def test_to_widget_raises_importerror_without_ipywidgets(topo):
+    assert "ipywidgets" not in sys.modules
+    with pytest.raises(ImportError):
+        topo.to_widget()
+
+
+def test_to_widget_glue_with_fake_ipywidgets(topo, monkeypatch):
+    """Widget glue: slider specs reach the widgets, interact receives the
+    refresh callback + fixed topo, and the callback itself drives the
+    toposimplify -> topoquantize -> to_alt chain (fake altair)."""
+    calls = {}
+
+    class _W:  # base fake widget: records ctor kwargs by class name
+        def __init__(self, **kw):
+            calls[type(self).__name__] = kw
+
+    class FloatSlider(_W):
+        pass
+
+    class FloatLogSlider(_W):
+        pass
+
+    class RadioButtons(_W):
+        pass
+
+    def interact(func, **kw):
+        calls["interact"] = (func, kw)
+        return "INTERACT"
+
+    def fixed(v):
+        return ("FIXED", v)
+
+    fake_w = types.ModuleType("ipywidgets")
+    fake_w.FloatSlider = FloatSlider
+    fake_w.FloatLogSlider = FloatLogSlider
+    fake_w.RadioButtons = RadioButtons
+    fake_w.interact = interact
+    fake_w.fixed = fixed
+    monkeypatch.setitem(sys.modules, "ipywidgets", fake_w)
+
+    out = topo.to_widget(
+        slider_toposimplify={"min": 0, "max": 2, "step": 0.5, "value": 1.0},
+        slider_topoquantize={
+            "min": 1, "max": 5, "step": 1, "value": 1e4, "base": 10,
+        },
+    )
+    assert out == "INTERACT"
+    assert calls["FloatSlider"]["max"] == 2
+    assert calls["FloatSlider"]["value"] == 1.0
+    assert calls["FloatLogSlider"]["base"] == 10
+    assert calls["FloatLogSlider"]["value"] == 1e4
+    # reference defaults the toggle to Visvalingam-Whyatt
+    assert calls["RadioButtons"]["value"] == "vw"
+    func, kw = calls["interact"]
+    assert kw["topo"] == ("FIXED", topo)
+    assert isinstance(kw["epsilon"], FloatSlider)
+    assert isinstance(kw["quant"], FloatLogSlider)
+    assert isinstance(kw["algo"], RadioButtons)
+
+    # the callback drives the real post-ops through a fake altair chart
+    class FakeChart:
+        def __init__(self, data):
+            pass
+
+        def mark_geoshape(self, filled):
+            return self
+
+        def project(self, type, reflectY):
+            calls["projected"] = True
+            return self
+
+    fake_alt = types.ModuleType("altair")
+    fake_alt.InlineData = lambda values, format: None
+    fake_alt.DataFormat = lambda feature, type: None
+    fake_alt.Chart = FakeChart
+    monkeypatch.setitem(sys.modules, "altair", fake_alt)
+
+    from topojson_spark.topology import _widget_refresh
+
+    chart = _widget_refresh(
+        epsilon=0.5, quant=1e4, algo="vw", topo=topo
+    )
+    assert isinstance(chart, FakeChart) and calls.get("projected")
+    # the source topology is never mutated by a slider move (frozen
+    # options; deviation from the reference's in-place toggle, which
+    # would have flipped this to "vw")
+    assert topo.options.simplify_algorithm == "dp"

@@ -542,6 +542,47 @@ class Topology:
             chart = chart.encode(color=color)
         return chart.project(type="identity", reflectY=True)
 
+    def to_widget(
+        self,
+        slider_toposimplify={
+            "min": 0, "max": 10, "step": 0.01, "value": 0.01,
+        },
+        slider_topoquantize={
+            "min": 1, "max": 6, "step": 1, "value": 1e5, "base": 10,
+        },
+    ):
+        """Interactive ipywidgets sliders driving the toposimplify /
+        topoquantize post-ops through the Altair export (reference
+        topology.py:345-373 + utils.serialize_as_ipywidgets). Requires
+        ipywidgets + altair. Deviation: the reference flips
+        ``simplify_with`` to the `simplification` package for slider
+        latency; this engine has one (numpy) kernel, so only the
+        algorithm toggle is exposed."""
+        from ipywidgets import fixed, interact
+        import ipywidgets as widgets
+
+        style = {"description_width": "initial"}
+        ts, tq = slider_toposimplify, slider_topoquantize
+        alg = widgets.RadioButtons(
+            options=[("Douglas-Peucker", "dp"), ("Visvalingam-Whyatt", "vw")],
+            value="vw",
+            description="Simplify algorithm",
+            disabled=False,
+            style=style,
+        )
+        eps = widgets.FloatSlider(
+            min=ts["min"], max=ts["max"], step=ts["step"], value=ts["value"],
+            description="Toposimplify Factor", style=style,
+        )
+        qnt = widgets.FloatLogSlider(
+            min=tq["min"], max=tq["max"], step=tq["step"], value=tq["value"],
+            base=tq["base"], description="Topoquantize Factor", style=style,
+        )
+        return interact(
+            _widget_refresh, epsilon=eps, quant=qnt, algo=alg,
+            topo=fixed(self),
+        )
+
     # -------------------------------------------------------- post-ops
 
     def toposimplify(self, epsilon: float) -> "Topology":
@@ -924,3 +965,18 @@ def topology_to_geojson(
             }
         )
     return fc
+
+
+def _widget_refresh(epsilon, quant, algo, topo):
+    """Slider callback for Topology.to_widget (reference
+    utils.py toposimpquant): re-simplify, re-quantize, re-chart.
+    Deviation: TopoOptions is frozen here, so the algorithm toggle goes
+    through dataclasses.replace on a shallow copy — the source topology
+    is never mutated (the reference mutates options in place)."""
+    import dataclasses
+
+    new = copy.copy(topo)
+    new.options = dataclasses.replace(
+        topo.options, simplify_algorithm=algo
+    )
+    return new.toposimplify(epsilon).topoquantize(quant).to_alt()
