@@ -753,6 +753,16 @@ def q_dup_spans(spark, sf_dir):
     return dup_span_fraction(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_dup_span_extents(spark, sf_dir):
+    """Maximal cross-document duplicated token spans (the strip-list form
+    of dup_spans): positions of cross-doc-duplicated trigrams fused into
+    [span_start, span_end) islands. Gram text never shuffles (28-bit
+    md5-prefix hash); the only window partitions by doc_id."""
+    from topojson_spark.functions.text import dup_span_extents
+
+    return dup_span_extents(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-minute gap): one exchange on user_id
     serves the lag/cumsum windows AND the session aggregate."""
@@ -1043,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "ngram_stats": q_ngram_stats,
         "dup_spans": q_dup_spans,
+        "dup_span_extents": q_dup_span_extents,
         "bm25_topk": q_bm25,
         "sessionize": q_sessionize,
         "knn_grid": q_knn,
@@ -1961,6 +1972,41 @@ def oracle_sql() -> dict[str, str]:
                              / (len(t) - 2)::DOUBLE
                         ELSE 0.0 END AS dup_frac
             FROM tok LEFT JOIN dup USING (doc_id)""",
+        # positions: DuckDB's 1-based gram index i maps to the 0-based
+        # token position i-1 (Spark posexplode). The gap rule (<= 3 fuses)
+        # and the 28-bit md5-prefix gram hash are shared verbatim.
+        "dup_span_extents": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ('0x' || substring(
+                        md5(array_to_string(t[i : i+2], ' ')), 1, 7
+                      ))::BIGINT AS gh
+              FROM tok, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 2, 0)))
+              ) AS s(i)
+            ),
+            pd AS (SELECT gh, doc_id FROM g GROUP BY 1, 2),
+            crossg AS (SELECT gh FROM pd GROUP BY gh HAVING count(*) >= 2),
+            duppos AS (SELECT doc_id, pos FROM g JOIN crossg USING (gh)),
+            brk AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) <= 3
+                     THEN 0 ELSE 1 END AS b
+              FROM duppos
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM brk
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 3 AS span_end,
+                   count(*) AS n_dup_grams
+            FROM isl GROUP BY doc_id, island""",
         "sessionize": """
             WITH flag AS (
               SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -324,3 +324,33 @@ def test_dup_span_fraction(spark):
     assert out[5]["n_grams"] == 0 and out[5]["dup_grams"] == 0
     with pytest.raises(ValueError):
         dup_span_fraction(docs, n=0)
+
+
+def test_dup_span_extents_hand_computed(spark):
+    from topojson_spark.functions.text import dup_span_extents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # ab(0) bc(1) cd(2) de(3) ef(4)
+            (2, "a b c q e f"),  # shares ab, bc, ef with doc 1
+            (3, "x y z"),        # nothing shared -> no rows
+            (4, "a b"),          # single shared bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = dup_span_extents(docs, n=2).collect()
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in out
+    }
+    # docs 1 and 2: positions {0, 1} fuse (gap 1 <= n), position 4 is its
+    # own island (gap 3 > n); doc 4: one single-gram span
+    assert got == {
+        (1, 0, 3, 2), (1, 4, 6, 1),
+        (2, 0, 3, 2), (2, 4, 6, 1),
+        (4, 0, 2, 1),
+    }
+    short = dup_span_extents(docs, n=2, min_len=3).collect()
+    assert {(r["doc_id"], r["span_start"]) for r in short} == {(1, 0), (2, 0)}
+    with pytest.raises(ValueError):
+        dup_span_extents(docs, n=0)

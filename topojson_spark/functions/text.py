@@ -684,6 +684,76 @@ def dup_span_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def dup_span_extents(
+    documents: DataFrame, n: int = 3, min_len: int = 0
+) -> DataFrame:
+    """WHERE the duplication lives: per document, the maximal token spans
+    covered by cross-document duplicated word n-grams. The actionable form
+    of :func:`dup_span_fraction` — instead of a score, it returns the
+    [span_start, span_end) token intervals a Lee-et-al-2022-style
+    exact-substring dedup pass would strip (their suffix-array "remove
+    every duplicated substring of >= L tokens", approximated at n-gram
+    granularity: a token is covered iff some n-gram through it also occurs
+    in at least one OTHER document; runs of covered positions fuse into
+    maximal spans). Returns (doc_id, span_start, span_end, n_dup_grams),
+    positions 0-based token indices, ``span_end`` exclusive; ``min_len``
+    drops spans shorter than that many tokens. Note the fused span is
+    duplicated COVERAGE — consecutive grams may each match a different
+    peer document; for the per-doc strip decision that is exactly what is
+    wanted (every token in the span appears verbatim elsewhere in context
+    >= n).
+
+    100 TB design: gram text never shuffles — positions ride a 28-bit
+    md5-prefix hash of the gram (same trick as :func:`shingles`), so the
+    exchanges carry (hash, doc, pos) tuples. The cross-doc test is the
+    same partial-aggregated two-level groupBy as :func:`term_stats`
+    (one tuple per distinct (gram, doc) crosses the second exchange;
+    Zipf-hot grams collapse map-side), probed back with a shuffle join
+    AQE can split on skew. The only window partitions by doc_id — bounded
+    by document length, never by gram popularity, so a boilerplate gram
+    shared by 1e9 documents cannot serialize a task. Interval fusion is
+    the gaps-and-islands idiom: a new island starts where the gap between
+    consecutive duplicated positions exceeds ``n``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_col(F.col("text"))
+    terms = toks if n == 1 else _gram_strings(toks, n)
+    pos = documents.select(
+        "doc_id", F.posexplode(terms).alias("pos", "term")
+    ).select("doc_id", "pos", _md5_28(F.col("term")).alias("gh"))
+    cross = (
+        pos.groupBy("gh", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gh")
+    )
+    duppos = pos.join(cross, on="gh").select("doc_id", "pos")
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(by_doc) <= F.lit(n), F.lit(0)
+    ).otherwise(F.lit(1))  # lag NULL (first position) -> new island
+    islands = duppos.select(
+        "doc_id",
+        "pos",
+        F.sum(brk).over(
+            by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_isl"),
+    )
+    out = islands.groupBy("doc_id", "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    )
+    if min_len > 0:
+        out = out.where(
+            F.col("span_end") - F.col("span_start") >= F.lit(min_len)
+        )
+    return out.select("doc_id", "span_start", "span_end", "n_dup_grams")
+
+
 def bm25_topk(
     documents: DataFrame,
     query_terms,
