@@ -263,6 +263,55 @@ def test_prefix_sum_empty_and_single_row(spark):
     assert prefix_sum(one, ["id"], "v", "p").collect()[0]["p"] == 0
 
 
+def test_dense_index_lazy_matches_eager(spark):
+    """The zero-collect bucketed mint must assign the IDENTICAL ids as the
+    two-phase range-partition machinery (ties, negatives, key_cols)."""
+    import random
+
+    from topojson_spark.plans.ids import dense_index, dense_index_lazy
+
+    random.seed(7)
+    rows = [
+        (random.randint(-50, 50), random.randint(0, 5), f"k{i}")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "a long, b int, k string").repartition(7)
+    order = ["a", "b", "k"]
+    eager = {
+        r["k"]: r["idx"]
+        for r in dense_index(df, order, mode="eager").collect()
+    }
+    lazy = {r["k"]: r["idx"] for r in dense_index_lazy(df, order).collect()}
+    assert lazy == eager and len(lazy) == 1000
+    # narrow key_cols path dispatches identically
+    lazy_k = {
+        r["k"]: r["idx"]
+        for r in dense_index(df, order, key_cols=["k"], mode="lazy").collect()
+    }
+    assert lazy_k == eager
+
+
+def test_dense_index_lazy_degenerate_inputs(spark):
+    from topojson_spark.plans.ids import dense_index, dense_index_lazy
+
+    # constant leading column: every row lands in one bucket, ids still
+    # dense and ordered by the remaining cols
+    const = spark.createDataFrame(
+        [(1, i) for i in range(50)], "a long, b int"
+    )
+    got = sorted(
+        (r["b"], r["idx"]) for r in dense_index_lazy(const, ["a", "b"]).collect()
+    )
+    assert got == [(i, i) for i in range(50)]
+    empty = spark.createDataFrame([], "a long, b int")
+    assert dense_index_lazy(empty, ["a", "b"]).count() == 0
+    # string lead cannot bucket numerically -> dispatch falls back to eager
+    s = dense_index(
+        spark.createDataFrame([("b",), ("a",)], "s string"), ["s"], mode="lazy"
+    ).collect()
+    assert sorted((r["s"], r["idx"]) for r in s) == [("a", 0), ("b", 1)]
+
+
 def test_pack_sequences_window_math(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(f"w{j}" for j in range(5 + (i * 13) % 9)))
