@@ -135,6 +135,7 @@ def main() -> None:
         "ivf_topk_persisted",
         "token_budget_mixture",
         "dup_spans",
+        "dup_span_extents",
         "bm25_topk",
         "kmeans_assign",
         "semantic_dedup",

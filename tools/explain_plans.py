@@ -168,6 +168,15 @@ def main() -> None:
         fmt(qs["dup_spans"](spark, SF_DIR)),
     ))
     sections.append((
+        "dup_span_extents — maximal cross-doc duplicated spans",
+        "Expect: gram text reduced to a 28-bit md5-prefix hash BEFORE any"
+        " exchange (positions ride (gh, doc, pos) tuples); two-level"
+        " HashAggregate for the cross-doc test; the only Window partitions"
+        " by doc_id (gaps-and-islands fusion) — never by the gram, so a"
+        " boilerplate gram cannot serialize one task; no Python anywhere.",
+        fmt(qs["dup_span_extents"](spark, SF_DIR)),
+    ))
+    sections.append((
         "bm25_topk — hits-only lexical scoring",
         "Expect: the explode Generate sits above a filter to the literal"
         " query vocabulary, so only query-term hits are generated and"
