@@ -69,6 +69,9 @@ CENTROIDS = [
     [round(((k * 59 + j * 17 + 29) % 83) / 83.0 - 0.5, 6) for j in range(64)]
     for k in range(4)
 ]
+# argmin operand list for the oracle CASE expressions, derived from
+# CENTROIDS so the SQL cannot silently exclude a centroid if the table grows
+_LEAST_D = ", ".join(f"d{i}" for i in range(len(CENTROIDS)))
 
 from topojson_spark.functions.curation import (  # noqa: E402
     decontaminate,
@@ -706,7 +709,18 @@ def q_ivf_topk_persisted(spark, sf_dir):
     )
     from topojson_spark.sources.tables import write_table
 
-    store = "/tmp/ivf_store_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
+    # cache key includes the source parquet's (mtime, size): regenerated
+    # testdata at the same path gets a FRESH store instead of a stale one
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(src)
+        fingerprint = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fingerprint = sf_dir
+    store = (
+        "/tmp/ivf_store_"
+        + _hl.sha1(fingerprint.encode()).hexdigest()[:12]
+    )
     if not _os.path.exists(_os.path.join(store, "_SUCCESS")):
         emb = _t(spark, sf_dir, "embeddings")
         write_table(
@@ -756,7 +770,7 @@ def q_dup_spans(spark, sf_dir):
 def q_dup_span_extents(spark, sf_dir):
     """Maximal cross-document duplicated token spans (the strip-list form
     of dup_spans): positions of cross-doc-duplicated trigrams fused into
-    [span_start, span_end) islands. Gram text never shuffles (28-bit
+    [span_start, span_end) islands. Gram text never shuffles (60-bit
     md5-prefix hash); the only window partitions by doc_id."""
     from topojson_spark.functions.text import dup_span_extents
 
@@ -1500,7 +1514,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id,
               CASE {" ".join(
-                  f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                  f"WHEN d{i} = least({_LEAST_D}) THEN {i}"
                   for i in range(len(CENTROIDS))
               )} END AS centroid_id
             FROM d""",
@@ -1519,7 +1533,7 @@ def oracle_sql() -> dict[str, str]:
             assigned AS (
               SELECT vec_id, embedding,
                 CASE {" ".join(
-                    f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                    f"WHEN d{i} = least({_LEAST_D}) THEN {i}"
                     for i in range(len(CENTROIDS))
                 )} END AS centroid_id
               FROM d
@@ -1621,7 +1635,7 @@ def oracle_sql() -> dict[str, str]:
             asg AS (
               SELECT vec_id, embedding,
                 CASE {" ".join(
-                    f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                    f"WHEN d{i} = least({_LEAST_D}) THEN {i}"
                     for i in range(len(CENTROIDS))
                 )} END AS centroid_id
               FROM d
@@ -1871,7 +1885,7 @@ def oracle_sql() -> dict[str, str]:
             asg AS (
               SELECT vec_id, embedding,
                 CASE {" ".join(
-                    f"WHEN d{i} = least(d0, d1, d2, d3) THEN {i}"
+                    f"WHEN d{i} = least({_LEAST_D}) THEN {i}"
                     for i in range(len(CENTROIDS))
                 )} END AS centroid_id
               FROM dsc
@@ -1974,7 +1988,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN dup USING (doc_id)""",
         # positions: DuckDB's 1-based gram index i maps to the 0-based
         # token position i-1 (Spark posexplode). The gap rule (<= 3 fuses)
-        # and the 28-bit md5-prefix gram hash are shared verbatim.
+        # and the 60-bit md5-prefix gram hash are shared verbatim.
         "dup_span_extents": f"""
             WITH tok AS (
               SELECT doc_id, {_TOKS_SQL} AS t FROM documents
@@ -1982,7 +1996,7 @@ def oracle_sql() -> dict[str, str]:
             g AS (
               SELECT doc_id, i - 1 AS pos,
                      ('0x' || substring(
-                        md5(array_to_string(t[i : i+2], ' ')), 1, 7
+                        md5(array_to_string(t[i : i+2], ' ')), 1, 15
                       ))::BIGINT AS gh
               FROM tok, LATERAL (
                 SELECT unnest(generate_series(1, greatest(len(t) - 2, 0)))

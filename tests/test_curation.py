@@ -275,6 +275,9 @@ def test_dense_index_lazy_matches_eager(spark):
         (random.randint(-50, 50), random.randint(0, 5), f"k{i}")
         for i in range(1000)
     ]
+    # NULL leads sort FIRST under both the eager range partitioner and the
+    # lazy bucketing's explicit NULL bucket
+    rows += [(None, i % 3, f"n{i}") for i in range(20)]
     df = spark.createDataFrame(rows, "a long, b int, k string").repartition(7)
     order = ["a", "b", "k"]
     eager = {
@@ -282,7 +285,8 @@ def test_dense_index_lazy_matches_eager(spark):
         for r in dense_index(df, order, mode="eager").collect()
     }
     lazy = {r["k"]: r["idx"] for r in dense_index_lazy(df, order).collect()}
-    assert lazy == eager and len(lazy) == 1000
+    assert lazy == eager and len(lazy) == 1020
+    assert max(lazy[f"n{i}"] for i in range(20)) < 20  # NULLs first
     # narrow key_cols path dispatches identically
     lazy_k = {
         r["k"]: r["idx"]

@@ -213,6 +213,64 @@ def test_asof_join_bucketed_matches_plain(spark):
         assert got == want, f"bucket_minutes={bucket} diverged"
 
 
+def test_asof_join_bucketed_null_keys_match_plain(spark):
+    """asof_join's window partitionBy groups NULL keys into one partition,
+    so the hatch's spine/carry joins must be NULL-SAFE: a cross-bucket
+    match for a NULL-key left row must survive (regression: an equality
+    join dropped it)."""
+    from pyspark.sql import functions as F
+
+    from topojson_spark.functions.events import asof_join, asof_join_bucketed
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    left = spark.createDataFrame(
+        [(10, _ts(90), None, 1.0), (11, _ts(95), 7, 2.0)], schema
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(5), None, 9.0), (101, _ts(6), 7, 8.0)], schema
+    )
+
+    def key(r):
+        return (r["event_id"], r["user_id"], r["asof_us"], r["asof_value"])
+
+    want = sorted(map(key, asof_join(left, right).collect()),
+                  key=lambda t: t[0])
+    # bucket_minutes=60: ts(5) and ts(90) land in different buckets, so
+    # the NULL-key match must come through the cross-bucket carry
+    got = sorted(
+        map(key, asof_join_bucketed(left, right, bucket_minutes=60).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == want
+    assert any(
+        r["user_id"] is None and r["asof_value"] == 9.0
+        for r in asof_join_bucketed(left, right, bucket_minutes=60).collect()
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        asof_join_bucketed(left, right, bucket_minutes=0)
+
+
+def test_asof_hot_key_audit_null_key_counts_combined(spark):
+    """A hot NULL key is one window partition in asof_join, so the audit
+    must combine its left+right counts on ONE row (regression: an
+    equality outer join split them and the key slipped the threshold)."""
+    from topojson_spark.functions.events import asof_hot_key_audit
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    left = spark.createDataFrame(
+        [(i, _ts(i), None, 1.0) for i in range(4)], schema
+    )
+    right = spark.createDataFrame(
+        [(100 + i, _ts(i), None, 2.0) for i in range(4)], schema
+    )
+    hot = asof_hot_key_audit(left, right, threshold=6).collect()
+    assert [(r["user_id"], r["n_left"], r["n_right"]) for r in hot] == [
+        (None, 4, 4)
+    ]
+
+
 def test_asof_join_bucketed_windows_partition_on_bucket(spark, asof_tables):
     """The whole point of the hatch: no window in the plan partitions on
     the bare key — every row-level window key includes the time bucket, so

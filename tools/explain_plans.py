@@ -169,7 +169,7 @@ def main() -> None:
     ))
     sections.append((
         "dup_span_extents — maximal cross-doc duplicated spans",
-        "Expect: gram text reduced to a 28-bit md5-prefix hash BEFORE any"
+        "Expect: gram text reduced to a 60-bit md5-prefix hash BEFORE any"
         " exchange (positions ride (gh, doc, pos) tuples); two-level"
         " HashAggregate for the cross-doc test; the only Window partitions"
         " by doc_id (gaps-and-islands fusion) — never by the gram, so a"

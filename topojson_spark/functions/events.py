@@ -127,15 +127,16 @@ def asof_hot_key_audit(
     :func:`asof_join_bucketed` instead. When ``metrics`` is given, the
     hot-key count is recorded (mirrors decontaminate's build-side
     record)."""
+    # null-safe outer join: asof_join's window partitionBy groups NULL
+    # keys into ONE partition, so a hot NULL key is exactly as real a
+    # straggler as any other — an equality join would split its left and
+    # right counts onto two rows and let it slip under the threshold
+    lc = left.groupBy(on).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(on).agg(F.count(F.lit(1)).alias("n_right"))
     counts = (
-        left.groupBy(on).agg(F.count(F.lit(1)).alias("n_left"))
-        .join(
-            right.groupBy(on).agg(F.count(F.lit(1)).alias("n_right")),
-            on=on,
-            how="outer",
-        )
+        lc.join(rc, on=lc[on].eqNullSafe(rc[on]), how="outer")
         .select(
-            on,
+            F.coalesce(lc[on], rc[on]).alias(on),
             F.coalesce("n_left", F.lit(0)).alias("n_left"),
             F.coalesce("n_right", F.lit(0)).alias("n_right"),
         )
@@ -179,6 +180,10 @@ def asof_join_bucketed(
     when :func:`asof_hot_key_audit` flags keys, sizing ``bucket_minutes``
     so a single (key, bucket) group fits a task comfortably.
     """
+    if int(bucket_minutes) < 1:
+        raise ValueError(
+            f"bucket_minutes must be >= 1, got {bucket_minutes}"
+        )
     bucket_us = int(bucket_minutes) * 60 * 1_000_000
     right = right.where(F.col(ts_col).isNotNull())
     payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
@@ -227,12 +232,30 @@ def asof_join_bucketed(
         F.col("_tie").alias("tie"),
         *[F.col(f"_r_{c}").alias(c) for c in right_cols],
     )
+    # NULL-SAFE key joins throughout: asof_join's window partitionBy
+    # groups NULL keys (and a NULL-ts left row's NULL bucket) into one
+    # partition, so the bit-for-bit contract requires the spine and
+    # carry-in joins to match NULL keys too — an equality join would
+    # silently drop every cross-bucket match for the NULL-key group
     rb = r.groupBy(on, "_bucket").agg(F.max(best_struct).alias("_best"))
-    spine = (
-        l.select(on, "_bucket").distinct()
+    spine_keys = (
+        l.select(on, "_bucket")
         .unionByName(rb.select(on, "_bucket"))
         .distinct()
-        .join(rb, on=[on, "_bucket"], how="left")
+    )
+    spine = (
+        spine_keys.alias("sk")
+        .join(
+            rb.alias("rb"),
+            F.col(f"sk.{on}").eqNullSafe(F.col(f"rb.{on}"))
+            & F.col("sk._bucket").eqNullSafe(F.col("rb._bucket")),
+            "left",
+        )
+        .select(
+            F.col(f"sk.{on}").alias(on),
+            F.col("sk._bucket").alias("_bucket"),
+            F.col("rb._best").alias("_best"),
+        )
     )
     wc = (
         Window.partitionBy(on)
@@ -259,11 +282,17 @@ def asof_join_bucketed(
     ]
     return (
         carried.where(F.col("_side") == 1)
-        .join(carry, on=[on, "_bucket"], how="left")
+        .alias("lc")
+        .join(
+            carry.alias("cy"),
+            F.col(f"lc.{on}").eqNullSafe(F.col(f"cy.{on}"))
+            & F.col("lc._bucket").eqNullSafe(F.col("cy._bucket")),
+            "left",
+        )
         .select(
-            F.col(on),
+            F.col(f"lc.{on}").alias(on),
             *keep,
-            F.coalesce(F.col("_match"), carry_as_match).alias("_m"),
+            F.coalesce(F.col("lc._match"), carry_as_match).alias("_m"),
         )
         .select(
             F.col(on),

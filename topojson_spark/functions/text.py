@@ -202,6 +202,16 @@ def _gram_strings(toks, n: int):
     )
 
 
+def _term_col(toks, n: int):
+    """Validated term column: the raw tokens at ``n == 1``, word n-grams
+    above. The ONE gram definition term_stats / dup_span_fraction /
+    dup_span_extents share — their oracle-parity argument depends on the
+    three operators agreeing on it exactly."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return toks if n == 1 else _gram_strings(toks, n)
+
+
 def repetition_metrics(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -608,10 +618,8 @@ def term_stats(documents: DataFrame, min_df: int = 1, n: int = 1) -> DataFrame:
     (doc, term). No count_distinct (its expand doubles the shuffle).
     The same bounds hold at any ``n`` (a doc yields len-n+1 grams).
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens_col(F.col("text"))
-    terms = toks if n == 1 else _gram_strings(toks, n)
+    terms = _term_col(toks, n)
     per_doc = (
         documents.select(
             "doc_id", F.explode(terms).alias("term")
@@ -649,10 +657,8 @@ def dup_span_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
     rollup and the left join back to the (narrow) totals projection both
     key on doc_id.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens_col(F.col("text"))
-    terms = toks if n == 1 else _gram_strings(toks, n)
+    terms = _term_col(toks, n)
     per_doc = (
         documents.select("doc_id", F.explode(terms).alias("term"))
         .groupBy("term", "doc_id")
@@ -703,9 +709,14 @@ def dup_span_extents(
     wanted (every token in the span appears verbatim elsewhere in context
     >= n).
 
-    100 TB design: gram text never shuffles — positions ride a 28-bit
-    md5-prefix hash of the gram (same trick as :func:`shingles`), so the
-    exchanges carry (hash, doc, pos) tuples. The cross-doc test is the
+    100 TB design: gram text never shuffles — positions ride a 60-bit
+    md5-prefix hash of the gram, so the exchanges carry (hash, doc, pos)
+    tuples. 60 bits, not the 28 :func:`shingles` uses for overflow-safe
+    arithmetic: this hash is only compared for equality, and a collision
+    FABRICATES a duplicated span, so the space must dwarf the distinct
+    gram count (expected spurious gram pairs ~ B^2/2^61 — under 0.5 even
+    at a billion distinct grams, where 28 bits would flag nearly every
+    position). The cross-doc test is the
     same partial-aggregated two-level groupBy as :func:`term_stats`
     (one tuple per distinct (gram, doc) crosses the second exchange;
     Zipf-hot grams collapse map-side), probed back with a shuffle join
@@ -715,13 +726,11 @@ def dup_span_extents(
     the gaps-and-islands idiom: a new island starts where the gap between
     consecutive duplicated positions exceeds ``n``.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens_col(F.col("text"))
-    terms = toks if n == 1 else _gram_strings(toks, n)
+    terms = _term_col(toks, n)
     pos = documents.select(
         "doc_id", F.posexplode(terms).alias("pos", "term")
-    ).select("doc_id", "pos", _md5_28(F.col("term")).alias("gh"))
+    ).select("doc_id", "pos", _md5_64(F.col("term")).alias("gh"))
     cross = (
         pos.groupBy("gh", "doc_id")
         .agg(F.count(F.lit(1)).alias("_c"))

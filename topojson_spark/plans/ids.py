@@ -115,9 +115,17 @@ def dense_index_lazy(
         F.min(lead).alias("_lo"),
         (F.max(lead) - F.min(lead) + F.lit(1.0)).alias("_span"),
     )
-    bucket = F.least(
-        F.floor((lead - F.col("_lo")) / F.col("_span") * F.lit(float(n))),
-        F.lit(n - 1),
+    # NULL leads sort FIRST under Spark's default ordering (what the eager
+    # range partitioner does), so they get their own bucket BELOW every
+    # numeric one; without the explicit branch, least(NULL, n-1) would
+    # skip the NULL and fling NULL-lead rows into the LAST bucket
+    bucket = F.when(lead.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor(
+                (lead - F.col("_lo")) / F.col("_span") * F.lit(float(n))
+            ),
+            F.lit(n - 1),
+        )
     ).cast("long")
     bucketed = (
         df.crossJoin(F.broadcast(rng))

@@ -544,12 +544,8 @@ class Topology:
 
     def to_widget(
         self,
-        slider_toposimplify={
-            "min": 0, "max": 10, "step": 0.01, "value": 0.01,
-        },
-        slider_topoquantize={
-            "min": 1, "max": 6, "step": 1, "value": 1e5, "base": 10,
-        },
+        slider_toposimplify=None,
+        slider_topoquantize=None,
     ):
         """Interactive ipywidgets sliders driving the toposimplify /
         topoquantize post-ops through the Altair export (reference
@@ -562,7 +558,14 @@ class Topology:
         import ipywidgets as widgets
 
         style = {"description_width": "initial"}
-        ts, tq = slider_toposimplify, slider_topoquantize
+        # fresh defaults per call (a mutable default dict would be shared
+        # across every Topology in the process)
+        ts = slider_toposimplify or {
+            "min": 0, "max": 10, "step": 0.01, "value": 0.01,
+        }
+        tq = slider_topoquantize or {
+            "min": 1, "max": 6, "step": 1, "value": 1e5, "base": 10,
+        }
         alg = widgets.RadioButtons(
             options=[("Douglas-Peucker", "dp"), ("Visvalingam-Whyatt", "vw")],
             value="vw",
