@@ -732,6 +732,17 @@ def q_ivf_topk_persisted(spark, sf_dir):
     )
 
 
+def q_source_token_report(spark, sf_dir):
+    """Per-source token-length distribution (count/sum/min/max/mean/var/
+    exact median). The median comes off a (source, n_tokens) histogram +
+    tiny window — no value buffering, no global sort; mean/var are
+    closed-form over exact integer aggregates so every double is
+    engine-reproducible."""
+    from topojson_spark.functions.text import source_token_report
+
+    return source_token_report(_t(spark, sf_dir, "documents"))
+
+
 def q_term_stats(spark, sf_dir):
     """Corpus vocabulary (document frequency + term frequency, df >= 2):
     the two-level word-count whose exchange carries one tuple per
@@ -1061,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "source_stats": q_source_stats,
         "source_filter": q_source_filter,
+        "source_token_report": q_source_token_report,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "ivf_topk_persisted": q_ivf_topk_persisted,
@@ -1796,6 +1808,25 @@ def oracle_sql() -> dict[str, str]:
                 AND sum_stop_hits * 1000 >= 60 * sum_tokens
             )
             SELECT d.* FROM documents d JOIN keep USING (source)""",
+        # mean/var are the SAME closed-form expressions over exact integer
+        # aggregates as the Spark side (one double division each, no
+        # accumulation-order float sums); quantile_cont(0.5) interpolates
+        # the same two integer order statistics as the histogram median
+        "source_token_report": f"""
+            WITH t AS (
+              SELECT source, len({_TOKS_SQL}) AS ntok FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(ntok)::BIGINT AS sum_tokens,
+                   min(ntok) AS min_tokens,
+                   max(ntok) AS max_tokens,
+                   sum(ntok)::DOUBLE / count(*) AS mean_tokens,
+                   sum(ntok::BIGINT * ntok)::DOUBLE / count(*)
+                     - (sum(ntok)::DOUBLE / count(*))
+                     * (sum(ntok)::DOUBLE / count(*)) AS var_tokens,
+                   quantile_cont(ntok, 0.5) AS median_tokens
+            FROM t GROUP BY source""",
         "asof_join": """
             WITH err AS (
               SELECT user_id, epoch_us(ts) AS us, value,

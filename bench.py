@@ -136,6 +136,7 @@ def main() -> None:
         "token_budget_mixture",
         "dup_spans",
         "dup_span_extents",
+        "source_token_report",
         "bm25_topk",
         "kmeans_assign",
         "semantic_dedup",

@@ -367,6 +367,33 @@ def test_bm25_empty_corpus_raises(spark):
         X.bm25_topk(empty, ["spark"])
 
 
+def test_source_token_report_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # source A: lengths 1, 2, 4 (odd count -> median 2)
+            (1, "a", "A"),
+            (2, "a b", "A"),
+            (3, "a b c d", "A"),
+            # source B: lengths 2, 4 (even count -> median 3.0)
+            (4, "x y", "B"),
+            (5, "x y z w", "B"),
+            # source C: single doc, variance 0
+            (6, "only three words", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in X.source_token_report(docs).collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a["n_docs"], a["sum_tokens"], a["min_tokens"], a["max_tokens"]) \
+        == (3, 7, 1, 4)
+    assert a["median_tokens"] == 2.0
+    assert a["mean_tokens"] == pytest.approx(7 / 3)
+    # var = E[x^2] - E[x]^2 = (1+4+16)/3 - (7/3)^2
+    assert a["var_tokens"] == pytest.approx(21 / 3 - (7 / 3) ** 2)
+    assert b["median_tokens"] == 3.0  # interpolated between 2 and 4
+    assert (c["n_docs"], c["var_tokens"], c["median_tokens"]) == (1, 0.0, 3.0)
+
+
 def test_subword_count_hand_computed(spark):
     docs = spark.createDataFrame(
         [

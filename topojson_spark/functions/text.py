@@ -932,6 +932,78 @@ def source_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def source_token_report(documents: DataFrame) -> DataFrame:
+    """Per-source token-length distribution report: (source, n_docs,
+    sum_tokens, min_tokens, max_tokens, mean_tokens, var_tokens,
+    median_tokens) — the corpus report card a mixture designer reads
+    before setting :func:`~..curation.token_budget_mixture` budgets.
+
+    Exactness across engines: mean and variance are closed-form
+    expressions over EXACT integer aggregates (sum, sum of squares,
+    count) — one double division each, no accumulation-order-dependent
+    float sums — and the median interpolates two exact integer order
+    statistics, so every output value is bit-reproducible by any engine
+    (DuckDB's quantile_cont(0.5) agrees exactly: (a + b)/2 of two ints).
+
+    100 TB design — the exact median WITHOUT buffering values: a naive
+    ``percentile`` aggregate buffers every group's values in one task
+    (OOM on a billion-doc source) and a sort-based median is a global
+    sort. Here the corpus reduces map-side to a (source, n_tokens)
+    HISTOGRAM — at most O(sources × distinct lengths) rows cross the
+    exchange regardless of corpus size — and the median is read off the
+    cumulative histogram with a window over those tiny rows. The sums
+    ride the same histogram (weighted by count), so the corpus is
+    scanned exactly once and never shuffled.
+    """
+    hist = (
+        documents.select(
+            "source", F.size(tokens_col(F.col("text"))).alias("ntok")
+        )
+        .groupBy("source", "ntok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy("ntok")
+    full = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        hist.withColumn(
+            "c_hi",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("c_lo", F.col("c_hi") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(full))
+    )
+    # 0-based order-statistic positions bracketing the median
+    lo = F.floor((F.col("n") - 1) / 2)
+    hi = F.floor(F.col("n") / 2)
+    covers = lambda p: (F.col("c_lo") <= p) & (p < F.col("c_hi"))  # noqa: E731
+    ntok = F.col("ntok").cast("long")
+    return cum.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum(ntok * F.col("cnt")).alias("sum_tokens"),
+        F.min("ntok").alias("min_tokens"),
+        F.max("ntok").alias("max_tokens"),
+        (
+            F.sum(ntok * F.col("cnt")).cast("double") / F.max("n")
+        ).alias("mean_tokens"),
+        (
+            F.sum(ntok * ntok * F.col("cnt")).cast("double") / F.max("n")
+            - (F.sum(ntok * F.col("cnt")).cast("double") / F.max("n"))
+            * (F.sum(ntok * F.col("cnt")).cast("double") / F.max("n"))
+        ).alias("var_tokens"),
+        (
+            (
+                F.max(F.when(covers(lo), ntok)).cast("double")
+                + F.max(F.when(covers(hi), ntok)).cast("double")
+            )
+            / 2.0
+        ).alias("median_tokens"),
+    )
+
+
 def source_filter(
     documents: DataFrame,
     max_dup_pct: int = 50,
