@@ -732,6 +732,35 @@ def q_ivf_topk_persisted(spark, sf_dir):
     )
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-cosine benchmark decontamination: corpus vectors within
+    0.35 cosine of any eval vector (here: the 10 smallest-id embeddings
+    standing in for an eval set, broadcast map-side). The semantic twin
+    of the n-gram decontaminate query."""
+    from topojson_spark.functions.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") < 10)
+    out = semantic_decontaminate(emb, ev, threshold=0.35)
+    return out.select(
+        "vec_id", F.round("max_eval_cos", 6).alias("max_cos_r")
+    )
+
+
+def q_topk_per_source(spark, sf_dir):
+    """Exact top-5 documents per source by token count — the two-phase
+    (salted then merged) selection, so no task ever sorts a whole
+    source."""
+    from topojson_spark.functions.curation import topk_per_group
+    from topojson_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = token_count(docs).join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    return topk_per_group(scored, "source", "n_tokens", k=5)
+
+
 def q_source_token_report(spark, sf_dir):
     """Per-source token-length distribution (count/sum/min/max/mean/var/
     exact median). The median comes off a (source, n_tokens) histogram +
@@ -1073,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "source_filter": q_source_filter,
         "source_token_report": q_source_token_report,
+        "semantic_decontam": q_semantic_decontam,
+        "topk_per_source": q_topk_per_source,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "ivf_topk_persisted": q_ivf_topk_persisted,
@@ -1827,6 +1858,38 @@ def oracle_sql() -> dict[str, str]:
                      * (sum(ntok)::DOUBLE / count(*)) AS var_tokens,
                    quantile_cont(ntok, 0.5) AS median_tokens
             FROM t GROUP BY source""",
+        # same list_zip dot / norm expressions the semantic_dedup oracle
+        # proved engine-exact at sf1; max() over eval matches is order-free
+        "semantic_decontam": """
+            WITH ev AS (
+              SELECT DISTINCT embedding AS ev FROM embeddings
+              WHERE vec_id < 10
+            ),
+            p AS (
+              SELECT e.vec_id,
+                list_aggregate(list_transform(list_zip(e.embedding, ev.ev),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')
+                / (greatest(sqrt(list_aggregate(list_transform(e.embedding,
+                        x -> x::DOUBLE * x), 'sum')), 1e-12)
+                   * greatest(sqrt(list_aggregate(list_transform(ev.ev,
+                        x -> x::DOUBLE * x), 'sum')), 1e-12)) AS c
+              FROM embeddings e CROSS JOIN ev
+            )
+            SELECT vec_id, round(max(c), 6) AS max_cos_r
+            FROM p WHERE c >= 0.35 GROUP BY vec_id""",
+        "topk_per_source": f"""
+            WITH t AS (
+              SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens
+              FROM documents
+            ),
+            r AS (
+              SELECT source, n_tokens, doc_id,
+                row_number() OVER (
+                  PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                ) AS rank
+              FROM t
+            )
+            SELECT source, n_tokens, doc_id, rank FROM r WHERE rank <= 5""",
         "asof_join": """
             WITH err AS (
               SELECT user_id, epoch_us(ts) AS us, value,

@@ -137,6 +137,8 @@ def main() -> None:
         "dup_spans",
         "dup_span_extents",
         "source_token_report",
+        "topk_per_source",
+        "semantic_decontam",
         "bm25_topk",
         "kmeans_assign",
         "semantic_dedup",

@@ -546,3 +546,43 @@ def test_weighted_sample_matches_python_and_is_monotonic(docs):
     # NULL probability -> dropped, not an error
     nullp = F.when(F.col("doc_id") < 30, 1.0)
     assert C.weighted_sample(docs, nullp, salt="w").count() == 30
+
+
+def test_topk_per_group_matches_single_window(spark):
+    """Two-phase salted selection must equal the naive one-window top-k,
+    including ties and groups smaller than k."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from topojson_spark.functions.curation import topk_per_group
+
+    random.seed(3)
+    rows = [(f"d{i}", f"s{i % 5}", random.randint(0, 30)) for i in range(500)]
+    rows += [("tiny1", "s_tiny", 7)]  # group smaller than k
+    df = spark.createDataFrame(rows, "doc_id string, source string, score long")
+
+    for n_salts in (1, 8, 64):
+        got = {
+            (r["source"], r["rank"]): (r["doc_id"], r["score"])
+            for r in topk_per_group(
+                df, "source", "score", k=3, n_salts=n_salts
+            ).collect()
+        }
+        w = Window.partitionBy("source").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        want = {
+            (r["source"], r["rank"]): (r["doc_id"], r["score"])
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .collect()
+        }
+        assert got == want, f"n_salts={n_salts}"
+    assert ("s_tiny", 1) in want and ("s_tiny", 2) not in want
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        topk_per_group(df, "source", "score", k=0)

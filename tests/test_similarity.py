@@ -295,3 +295,39 @@ def test_kmeans_rejects_bad_k(spark):
     )
     with pytest.raises(ValueError):
         S.kmeans_init(df, k=0)
+
+
+def test_semantic_decontaminate_hand_computed(spark):
+    from topojson_spark.functions.similarity import semantic_decontaminate
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # eval vector
+            (2, [0.9, 0.1]),      # near eval -> flagged
+            (3, [0.0, 1.0]),      # orthogonal -> clean
+            (4, [-1.0, 0.0]),     # opposite -> clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = emb.where("vec_id = 1")
+    out = {r["vec_id"]: r["max_eval_cos"]
+           for r in semantic_decontaminate(emb, ev, threshold=0.9).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] == 1.0
+    import math
+    assert abs(out[2] - 0.9 / math.hypot(0.9, 0.1)) < 1e-12
+
+
+def test_semantic_decontaminate_plan_is_broadcast(spark):
+    from topojson_spark.functions.similarity import semantic_decontaminate
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semantic_decontaminate(emb, emb.limit(2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # eval side broadcast (nested-loop), corpus scored map-side
+    assert "BroadcastNestedLoopJoin" in plan

@@ -491,3 +491,56 @@ def token_budget_mixture(
         .select(*out_cols)
     )
     return below.unionByName(boundary)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols,
+    order_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Exact top-``k`` rows per group (e.g. the k best-scoring documents
+    of every source), with ``rank`` attached (1-based; ties broken by
+    ``id_col`` ascending, so the selection is deterministic and
+    engine-reproducible).
+
+    100 TB design — two-phase selection, never one task per group: a
+    window partitioned on the bare group key sorts EVERY row of a group
+    in one task (a billion-doc source = one straggler sorting 1e9 rows).
+    Here phase 1 runs the rank window on (group, salt) — salt =
+    hash(id) mod ``n_salts`` — keeping at most k rows per salt, so each
+    task sorts ~1/n_salts of a group; phase 2 re-ranks the <= k*n_salts
+    survivors per group, which is O(k * n_salts) rows however large the
+    group. Any row in the true top-k is in its salt's top-k, so the
+    result is exactly the single-window answer. Both windows shuffle
+    narrow projections only; ``df``'s full rows never move (semi-join the
+    output back on ``id_col`` to recover them).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    narrow = df.select(
+        *groups, order_col, id_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+    )
+    w1 = Window.partitionBy(*groups, "_salt").orderBy(
+        order, F.col(id_col).asc()
+    )
+    survivors = (
+        narrow.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(*groups).orderBy(order, F.col(id_col).asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

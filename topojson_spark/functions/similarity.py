@@ -469,3 +469,54 @@ def semantic_dedup(
     return assigned.join(dropped, on=id_col, how="left_anti").select(
         id_col, "centroid_id"
     )
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic benchmark decontamination: the embedding twin of
+    ``curation.decontaminate`` — flag every corpus vector whose cosine to
+    ANY eval-set vector reaches ``threshold`` (paraphrased benchmark
+    leakage that n-gram overlap misses). Returns (id_col, max_eval_cos)
+    for the flagged vectors; drop them with a left anti join, or keep the
+    score for a severity threshold.
+
+    ``eval_emb`` needs only ``vec_col``. 100 TB design: eval sets are
+    small (10^3-10^5 vectors), so the eval side is DISTINCT-reduced and
+    BROADCAST — the corpus is scanned once, scored map-side against the
+    in-memory eval table, and only flagged rows (rare by construction)
+    reach the per-id max exchange; the corpus never shuffles. Corpus-side
+    norms are minted once per vector before the join (not per pair).
+    max() over eval matches is order-free, so the output is
+    engine-reproducible (same argument as semantic_dedup's oracle).
+    """
+    normed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.greatest(_norm(vec_col), F.lit(1e-12)).alias("_nrm"),
+    )
+    ev = eval_emb.select(F.col(vec_col).alias("_ev")).distinct()
+    ev = ev.select(
+        "_ev",
+        F.greatest(
+            F.sqrt(F.aggregate(F.col("_ev"), F.lit(0.0),
+                               lambda acc, v: acc + v * v)),
+            F.lit(1e-12),
+        ).alias("_evnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_ev"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("_nrm") * F.col("_evnrm"))
+    return (
+        normed.crossJoin(F.broadcast(ev))
+        .where(cos >= F.lit(float(threshold)))
+        .groupBy(id_col)
+        .agg(F.max(cos).alias("max_eval_cos"))
+    )
