@@ -168,6 +168,30 @@ def main() -> None:
         fmt(qs["dup_spans"](spark, SF_DIR)),
     ))
     sections.append((
+        "source_token_report — exact median off a histogram",
+        "Expect: ONE scan reduced map-side to a (source, n_tokens)"
+        " histogram (HashAggregate partial+final); the median window runs"
+        " over those tiny rows, never the corpus; mean/var are closed-form"
+        " aggregate expressions; two Exchanges total, no Python.",
+        fmt(qs["source_token_report"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "topk_per_source — two-phase salted top-k per group",
+        "Expect: TWO Window operators — the first partitioned on"
+        " (source, salt) over the full rows, the second on source over at"
+        " most k*n_salts survivors — so no task ever sorts a whole group;"
+        " narrow projection only, no Python.",
+        fmt(qs["topk_per_source"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "semantic_decontam — broadcast eval-set cosine probe",
+        "Expect: BroadcastNestedLoopJoin with the distinct-reduced eval"
+        " side as the build; the cosine filter is codegen on the stream"
+        " side (corpus never shuffles); the only Exchange is the per-id"
+        " max over flagged rows.",
+        fmt(qs["semantic_decontam"](spark, SF_DIR)),
+    ))
+    sections.append((
         "dup_span_extents — maximal cross-doc duplicated spans",
         "Expect: gram text reduced to a 60-bit md5-prefix hash BEFORE any"
         " exchange (positions ride (gh, doc, pos) tuples); two-level"
