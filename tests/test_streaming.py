@@ -499,3 +499,48 @@ def test_stream_event_windows_kill_and_resume(spark, tmp_path):
               if k[1] in ("a", "b")}
     assert closed == {(0, "a"): (3, 7.0), (10, "b"): (1, 3.0),
                       (20, "b"): (1, 1.0)}
+
+
+def test_stream_text_curation_matches_batch(spark, tmp_path):
+    """The stateless quality gate must be row-for-row the batch result on
+    the same input — no state, no watermark, any trigger."""
+    from topojson_spark.streaming.ingest import stream_text_curation
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "no", "a"),                        # too short
+        (3, "??!!..,,;;::!!??..,,;;!!", "b"),  # punctuation soup
+        (4, "a clean sentence with the usual stopwords in it", "b"),
+        (5, "", "c"),
+    ]
+    schema = "doc_id long, text string, source string"
+    src = str(tmp_path / "txt_in")
+    out = str(tmp_path / "txt_out")
+    ckpt = str(tmp_path / "txt_ckpt")
+    spark.createDataFrame(rows, schema).repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_text_curation(stream, min_tokens=3, max_punct_ratio=0.3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = stream_text_curation(
+        spark.createDataFrame(rows, schema),
+        min_tokens=3,
+        max_punct_ratio=0.3,
+    )
+    assert not batch.isStreaming  # same code path runs both modes
+    got = {
+        (r["doc_id"], r["n_tokens"], r["stop_hits"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tokens"], r["stop_hits"]) for r in batch.collect()
+    }
+    assert got == want and {t[0] for t in got} == {1, 4}

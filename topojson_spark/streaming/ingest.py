@@ -227,3 +227,44 @@ def span_stats_stream(documents_stream: DataFrame) -> DataFrame:
     return spans.groupBy(F.col("span.kind").alias("kind")).agg(
         F.count(F.lit(1)).alias("n_spans")
     )
+
+
+def stream_text_curation(
+    documents_stream: DataFrame,
+    min_tokens: int = 3,
+    max_punct_ratio: float = 0.5,
+    min_stop_hits: int = 0,
+) -> DataFrame:
+    """Continuous text curation front door: quality-gate a STREAM of text
+    documents (doc_id, text, ...) with the same expressions the batch
+    ``text.quality_score`` computes, returning the surviving rows with
+    their quality columns attached.
+
+    Everything here is stateless select/filter — pure codegen, no
+    watermark, no state store, no shuffle — so the operator runs
+    identically under any trigger and its output is row-for-row the batch
+    result on the same input (pinned by test): the cheap first gate of a
+    continuous ingestion pipeline, upstream of the stateful dedup ledger
+    and the periodic batch compaction jobs (near-dup clustering, mixture)
+    that need global views.
+    """
+    from ..functions.text import _stop_hits, tokens_col
+
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    enriched = documents_stream.withColumns(
+        {
+            "n_tokens": F.size(toks),
+            "punct_ratio": (
+                F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+                / F.greatest(n_chars, F.lit(1))
+            ),
+            "stop_hits": _stop_hits(toks),
+        }
+    )
+    return enriched.where(
+        (F.col("n_tokens") >= F.lit(int(min_tokens)))
+        & (F.col("punct_ratio") <= F.lit(float(max_punct_ratio)))
+        & (F.col("stop_hits") >= F.lit(int(min_stop_hits)))
+    )
