@@ -732,6 +732,15 @@ def q_ivf_topk_persisted(spark, sf_dir):
     )
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy (repetitive/templated
+    text scores low): two-level (doc, term) count, per-doc rollup;
+    entropy = ln(n) - sum(c ln c)/n, rounded to 6 in both engines."""
+    from topojson_spark.functions.text import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_semantic_decontam(spark, sf_dir):
     """Embedding-cosine benchmark decontamination: corpus vectors within
     0.35 cosine of any eval vector (here: the 10 smallest-id embeddings
@@ -1103,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_filter": q_source_filter,
         "source_token_report": q_source_token_report,
         "semantic_decontam": q_semantic_decontam,
+        "token_entropy": q_token_entropy,
         "topk_per_source": q_topk_per_source,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
@@ -1858,6 +1868,26 @@ def oracle_sql() -> dict[str, str]:
                      * (sum(ntok)::DOUBLE / count(*)) AS var_tokens,
                    quantile_cont(ntok, 0.5) AS median_tokens
             FROM t GROUP BY source""",
+        "token_entropy": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+            ),
+            pt AS (
+              SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                     count(*) AS n_distinct,
+                     sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+              FROM pt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(st.n_tokens, 0) AS n_tokens,
+                   coalesce(st.n_distinct, 0) AS n_distinct,
+                   coalesce(round(ln(st.n_tokens::DOUBLE)
+                                  - st.clnc / st.n_tokens, 6), 0.0)
+                     AS entropy_r
+            FROM documents d LEFT JOIN st USING (doc_id)""",
         # same list_zip dot / norm expressions the semantic_dedup oracle
         # proved engine-exact at sf1; max() over eval matches is order-free
         "semantic_decontam": """

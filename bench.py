@@ -139,6 +139,7 @@ def main() -> None:
         "source_token_report",
         "topk_per_source",
         "semantic_decontam",
+        "token_entropy",
         "bm25_topk",
         "kmeans_assign",
         "semantic_dedup",

@@ -412,3 +412,23 @@ def test_subword_count_hand_computed(spark):
     assert out[2]["n_tokens"] == 2 and out[2]["n_subtokens"] == 4
     assert out[3]["n_subtokens"] == 4  # 123|45|-|6
     assert out[4]["n_tokens"] == 0 and out[4]["n_subtokens"] == 0
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # single token: entropy 0
+            (2, "a b c d"),        # uniform over 4: ln(4)
+            (3, "a a b"),          # -(2/3 ln 2/3 + 1/3 ln 1/3)
+            (4, ""),               # empty: entropy 0, zero counts
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.token_entropy(docs).collect()}
+    assert out[1]["entropy_r"] == 0.0 and out[1]["n_distinct"] == 1
+    assert out[2]["entropy_r"] == round(math.log(4), 6)
+    want3 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert out[3]["entropy_r"] == pytest.approx(want3, abs=1e-6)
+    assert out[4]["n_tokens"] == 0 and out[4]["entropy_r"] == 0.0

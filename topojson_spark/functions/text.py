@@ -637,6 +637,47 @@ def term_stats(documents: DataFrame, min_df: int = 1, n: int = 1) -> DataFrame:
     )
 
 
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats):
+    ``-sum_t (c_t/n) ln(c_t/n)`` over the document's distinct tokens,
+    plus (n_tokens, n_distinct). Low entropy = repetitive/templated text
+    (a quality signal complementary to the Gopher repetition ratios: it
+    catches many-distinct-but-skewed distributions the top-gram fractions
+    miss). Empty documents get entropy 0.0.
+
+    100 TB design: the same two-level shape as :func:`term_stats` — the
+    exchange carries one (doc, term, count) tuple per DISTINCT term
+    (map-side combine absorbs repeats), and the per-doc rollup keys on
+    doc_id. The entropy sum is a groupBy aggregate of per-term
+    contributions; both engines round to 6 decimals (sum-order float
+    noise is ~1e-15 relative, far inside the rounding).
+    """
+    toks = tokens_col(F.col("text"))
+    per_term = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per_term.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("_clnc"),
+    )
+    # -sum(p ln p) = ln(n) - sum(c ln c)/n  (exact algebra; one log per
+    # distinct term plus one of n, instead of a division inside the sum)
+    ent = F.log(F.col("n_tokens").cast("double")) - F.col("_clnc") / F.col(
+        "n_tokens"
+    )
+    totals = documents.select("doc_id")
+    return totals.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.coalesce(F.round(ent, 6), F.lit(0.0)).alias("entropy_r"),
+    )
+
 def dup_span_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
     """Per-document duplicated-span score: for each document, the fraction
     of its word n-gram positions whose n-gram also occurs in at least one
