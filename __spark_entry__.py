@@ -1863,7 +1863,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ntok) AS min_tokens,
                    max(ntok) AS max_tokens,
                    sum(ntok)::DOUBLE / count(*) AS mean_tokens,
-                   sum(ntok::BIGINT * ntok)::DOUBLE / count(*)
+                   sum(ntok::HUGEINT * ntok)::DOUBLE / count(*)
                      - (sum(ntok)::DOUBLE / count(*))
                      * (sum(ntok)::DOUBLE / count(*)) AS var_tokens,
                    quantile_cont(ntok, 0.5) AS median_tokens

@@ -501,12 +501,7 @@ def semantic_decontaminate(
     )
     ev = eval_emb.select(F.col(vec_col).alias("_ev")).distinct()
     ev = ev.select(
-        "_ev",
-        F.greatest(
-            F.sqrt(F.aggregate(F.col("_ev"), F.lit(0.0),
-                               lambda acc, v: acc + v * v)),
-            F.lit(1e-12),
-        ).alias("_evnrm"),
+        "_ev", F.greatest(_norm("_ev"), F.lit(1e-12)).alias("_evnrm")
     )
     dot = F.aggregate(
         F.zip_with(F.col("_v"), F.col("_ev"), lambda x, y: x * y),

@@ -169,22 +169,35 @@ def subword_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_exprs(text):
+    """The ONE definition of the quality gate's expressions, shared by
+    :func:`quality_score` and the streaming gate
+    (``streaming.ingest.stream_text_curation``) so the two surfaces
+    cannot drift: (n_tokens, punct_ratio, stop_hits) column expressions
+    over a text column."""
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    toks = tokens_col(text)
+    return (
+        F.size(toks),
+        n_punct / F.greatest(n_chars, F.lit(1)),
+        _stop_hits(toks),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Length/punct/stopword heuristics; one row per doc with components so
     thresholds can move downstream without recomputation."""
     text = F.col("text")
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    toks = tokens_col(text)
-    n_tokens = F.size(toks)
-    stop_hits = _stop_hits(toks)
+    n_tokens, punct_ratio, stop_hits = quality_exprs(text)
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars_q"),
         n_tokens.alias("n_tokens"),
         (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
-        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        punct_ratio.alias("punct_ratio"),
         (stop_hits / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
     )
 
@@ -1030,8 +1043,16 @@ def source_token_report(documents: DataFrame) -> DataFrame:
         (
             F.sum(ntok * F.col("cnt")).cast("double") / F.max("n")
         ).alias("mean_tokens"),
+        # sum of ntok^2 widened to decimal BEFORE the aggregate: a 1e9-doc
+        # source averaging 1e5 tokens sums to ~1e19 > 2^63, where a long
+        # sum would silently wrap (the oracle's HUGEINT stays exact).
+        # ntok^2 itself is long-safe (a doc would need 3e9 tokens to
+        # overflow); the decimal sum is exact, so the final double cast
+        # is still correctly rounded — bit-equal to the oracle.
         (
-            F.sum(ntok * ntok * F.col("cnt")).cast("double") / F.max("n")
+            F.sum((ntok * ntok).cast("decimal(38,0)") * F.col("cnt"))
+            .cast("double")
+            / F.max("n")
             - (F.sum(ntok * F.col("cnt")).cast("double") / F.max("n"))
             * (F.sum(ntok * F.col("cnt")).cast("double") / F.max("n"))
         ).alias("var_tokens"),

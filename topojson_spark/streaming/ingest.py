@@ -248,19 +248,14 @@ def stream_text_curation(
     and the periodic batch compaction jobs (near-dup clustering, mixture)
     that need global views.
     """
-    from ..functions.text import _stop_hits, tokens_col
+    from ..functions.text import quality_exprs
 
-    text = F.col("text")
-    toks = tokens_col(text)
-    n_chars = F.length(text)
+    n_tokens, punct_ratio, stop_hits = quality_exprs(F.col("text"))
     enriched = documents_stream.withColumns(
         {
-            "n_tokens": F.size(toks),
-            "punct_ratio": (
-                F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-                / F.greatest(n_chars, F.lit(1))
-            ),
-            "stop_hits": _stop_hits(toks),
+            "n_tokens": n_tokens,
+            "punct_ratio": punct_ratio,
+            "stop_hits": stop_hits,
         }
     )
     return enriched.where(
