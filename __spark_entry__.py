@@ -732,6 +732,24 @@ def q_ivf_topk_persisted(spark, sf_dir):
     )
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics over the 8x8 lattice: per-polygon count/sum/min/
+    max/mean of an integer point value — the PIP join's narrow pairs plus
+    a map-side-combinable rollup. Values are longs so the mean's single
+    division is engine-exact."""
+    from topojson_spark.spatial.pip import zonal_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        ((F.col("vec_id") % 16) * 0.5 + 0.25).alias("x"),
+        (F.floor((F.col("vec_id") % 256) / 16) * 0.5 + 0.25).alias("y"),
+        (F.col("vec_id") % 97).alias("value"),
+    )
+    polys = _lattice_polygons(spark, 8, 8)
+    return zonal_stats(pts, polys, (0.0, 0.0, 8.0, 8.0), level=4)
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-doc token-distribution Shannon entropy (repetitive/templated
     text scores low): two-level (doc, term) count, per-doc rollup;
@@ -1113,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_report": q_source_token_report,
         "semantic_decontam": q_semantic_decontam,
         "token_entropy": q_token_entropy,
+        "zonal_stats": q_zonal_stats,
         "topk_per_source": q_topk_per_source,
         "asof_join": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
@@ -1726,6 +1745,20 @@ def oracle_sql() -> dict[str, str]:
                     + 8 * floor(floor((vec_id % 256) / 16) * 0.5 + 0.25))::BIGINT
                    AS poly_id
             FROM embeddings""",
+        "zonal_stats": """
+            WITH p AS (
+              SELECT vec_id AS point_id,
+                     (floor((vec_id % 16) * 0.5 + 0.25)
+                      + 8 * floor(floor((vec_id % 256) / 16) * 0.5 + 0.25)
+                     )::BIGINT AS poly_id,
+                     (vec_id % 97)::BIGINT AS v
+              FROM embeddings
+            )
+            SELECT poly_id, count(*) AS n_points,
+                   sum(v)::BIGINT AS sum_value,
+                   min(v) AS min_value, max(v) AS max_value,
+                   sum(v)::DOUBLE / count(*) AS mean_value
+            FROM p GROUP BY poly_id""",
         "raster_tiles": """
             WITH pts AS (
               SELECT (event_id % 97) * 8.0 / 97 AS x,

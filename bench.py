@@ -140,6 +140,7 @@ def main() -> None:
         "topk_per_source",
         "semantic_decontam",
         "token_entropy",
+        "zonal_stats",
         "bm25_topk",
         "kmeans_assign",
         "semantic_dedup",

@@ -373,3 +373,41 @@ def test_batched_clip_kernel_matches_scalar_bitwise():
             assert np.array_equal(piece, exp), f"pair {i} piece {s}"
         assert [s for s, _ in have] == list(range(len(expect)))
     assert n_scalar_pieces > 100  # the case mix actually exercised clipping
+
+
+def test_zonal_stats_hand_computed(spark):
+    from topojson_spark.spatial.pip import zonal_stats
+
+    # unit-square polygons at (0,0) and (1,0); three points in the first,
+    # one in the second, one outside everything
+    polys = spark.createDataFrame(
+        [
+            (0, 0,
+             [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]),
+            (1, 0,
+             [[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0], [1.0, 0.0]]),
+        ],
+        "poly_id long, ring_seq int, coords array<array<double>>",
+    )
+    pts = spark.createDataFrame(
+        [
+            (10, 0.2, 0.2, 4),
+            (11, 0.8, 0.5, 10),
+            (12, 0.5, 0.9, 1),
+            (13, 1.5, 0.5, 7),
+            (14, 5.0, 5.0, 100),
+        ],
+        "point_id long, x double, y double, value long",
+    )
+    out = {
+        r["poly_id"]: r
+        for r in zonal_stats(
+            pts, polys, (0.0, 0.0, 8.0, 8.0), level=3
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    a = out[0]
+    assert (a["n_points"], a["sum_value"], a["min_value"], a["max_value"]) \
+        == (3, 15, 1, 10)
+    assert a["mean_value"] == 5.0
+    assert out[1]["n_points"] == 1 and out[1]["mean_value"] == 7.0
