@@ -192,6 +192,23 @@ def main() -> None:
         fmt(qs["semantic_decontam"](spark, SF_DIR)),
     ))
     sections.append((
+        "token_entropy — two-level count + closed-form entropy",
+        "Expect: Generate (token explode) -> HashAggregate partial+final"
+        " on (doc, term) — one exchanged tuple per DISTINCT term — then a"
+        " doc_id rollup computing ln(n) - sum(c ln c)/n as codegen"
+        " expressions; left join restores zero-count empty docs; no"
+        " Python.",
+        fmt(qs["token_entropy"](spark, SF_DIR)),
+    ))
+    sections.append((
+        "zonal_stats — PIP join + map-side-combinable rollup",
+        "Expect: the pip join's pinned coarse cell join + ArrowEvalPython"
+        " refine (candidates only), then a values equi-join on point_id"
+        " and a partial-aggregated groupBy(poly_id) — a hot polygon ships"
+        " one partial row per task, never its candidate volume.",
+        fmt(qs["zonal_stats"](spark, SF_DIR)),
+    ))
+    sections.append((
         "dup_span_extents — maximal cross-doc duplicated spans",
         "Expect: gram text reduced to a 60-bit md5-prefix hash BEFORE any"
         " exchange (positions ride (gh, doc, pos) tuples); two-level"
